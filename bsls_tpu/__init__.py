@@ -1,0 +1,19 @@
+"""bsls_tpu — TPU-native block-simplex-constrained least squares.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+``megacell/block-simplex-least-squares`` reference: projected gradient,
+entropic mirror descent, and Frank-Wolfe solvers over products of simplices,
+with fused per-block projection / PAVA kernels and multi-host mesh sharding.
+See SURVEY.md for the blueprint and provenance notes.
+"""
+from .models import (
+    BlockPartition,
+    DenseMatrix,
+    EllMatrix,
+    OracleResult,
+    Problem,
+    oracle_solve,
+    synthetic,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,236 @@
+"""Problem model: matrices, right-hand sides, block structure, constraints.
+
+Host-side (numpy/scipy) representation.  The device-side prepared form
+(jnp arrays, index maps, shardings) is built by ``bsls_tpu.ops.layout`` /
+``bsls_tpu.parallel``.
+
+Mirrors the reference's instance model — scipy-sparse ``A``, dense ``b``,
+``block_sizes`` vector, loaded from .mat files (SURVEY.md §2 #13,
+[UNVERIFIED] — reference mount empty) — generalised with multi-RHS scenario
+batching and optional linear equality constraints (SURVEY.md §2 #12).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .partition import BlockPartition
+
+__all__ = ["DenseMatrix", "EllMatrix", "Problem"]
+
+
+@dataclass(frozen=True)
+class DenseMatrix:
+    """Dense m x n matrix."""
+
+    data: np.ndarray  # (m, n)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        return self.data @ x
+
+    def rmatvec(self, r: np.ndarray) -> np.ndarray:
+        return self.data.T @ r
+
+    def to_scipy(self):
+        return self.data
+
+
+@dataclass(frozen=True)
+class EllMatrix:
+    """Column-oriented ELL ("ELL-transpose") sparse matrix.
+
+    Stores, for each *column* j, the row indices and values of its nonzeros,
+    padded to the max per-column count ``k``:
+
+      rows: (n, k) int32  — row index of each nonzero (0 where padding)
+      vals: (n, k) float  — value of each nonzero (0.0 where padding)
+
+    Chosen over row-ELL because the framework shards A by columns aligned
+    with the block sharding of x: A @ x is a per-column scale + segment-sum
+    into the m rows (local, then psum over the block axis), and A^T r is a
+    pure gather — both TPU-friendly (SURVEY.md §7 hard part 2).
+    """
+
+    rows: np.ndarray  # (n, k) int32
+    vals: np.ndarray  # (n, k)
+    num_rows: int
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.rows.shape[0])
+
+    @property
+    def k(self) -> int:
+        return self.rows.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(self.vals))
+
+    @staticmethod
+    def from_scipy(A) -> "EllMatrix":
+        import scipy.sparse as sp
+
+        A = sp.csc_matrix(A)
+        m, n = A.shape
+        counts = np.diff(A.indptr)
+        k = max(int(counts.max()), 1)
+        rows = np.zeros((n, k), dtype=np.int32)
+        vals = np.zeros((n, k), dtype=A.dtype)
+        for j in range(n):
+            lo, hi = A.indptr[j], A.indptr[j + 1]
+            c = hi - lo
+            rows[j, :c] = A.indices[lo:hi]
+            vals[j, :c] = A.data[lo:hi]
+        return EllMatrix(rows=rows, vals=vals, num_rows=m)
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.num_rows, dtype=np.result_type(self.vals, x))
+        np.add.at(out, self.rows.ravel(), (self.vals * x[:, None]).ravel())
+        return out
+
+    def rmatvec(self, r: np.ndarray) -> np.ndarray:
+        return (self.vals * r[self.rows]).sum(axis=1)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n, k = self.rows.shape
+        cols = np.repeat(np.arange(n), k)
+        mask = self.vals.ravel() != 0
+        return sp.csr_matrix(
+            (self.vals.ravel()[mask], (self.rows.ravel()[mask], cols[mask])),
+            shape=self.shape,
+        )
+
+
+@dataclass(frozen=True)
+class Problem:
+    """Block-simplex-constrained least squares instance.
+
+        minimize    0.5 * ||A x - b||^2
+        subject to  x in Delta_{n_1} x ... x Delta_{n_B}
+                    (optionally)  C x = d
+
+    ``b`` may be (m,) or (S, m) for S batched scenarios (multi-RHS).
+    """
+
+    A: DenseMatrix | EllMatrix
+    b: np.ndarray
+    partition: BlockPartition
+    C: Optional[DenseMatrix | EllMatrix] = None
+    d: Optional[np.ndarray] = None
+    name: str = "problem"
+    x_true: Optional[np.ndarray] = None  # ground-truth flow, if synthetic
+
+    def __post_init__(self):
+        m, n = self.A.shape
+        if n != self.partition.n_flat:
+            raise ValueError(f"A has {n} columns but partition has n_flat={self.partition.n_flat}")
+        b = np.asarray(self.b)
+        if b.shape[-1] != m:
+            raise ValueError(f"b last dim {b.shape[-1]} != m={m}")
+        if (self.C is None) != (self.d is None):
+            raise ValueError("C and d must be given together")
+        if self.C is not None and self.C.shape[1] != n:
+            raise ValueError("C column count mismatch")
+
+    @property
+    def num_scenarios(self) -> int:
+        b = np.asarray(self.b)
+        return 1 if b.ndim == 1 else b.shape[0]
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @staticmethod
+    def from_arrays(A, b, block_sizes, C=None, d=None, name="problem",
+                    x_true=None, block_multiple: int = 1) -> "Problem":
+        """Build from raw arrays; scipy-sparse ``A``/``C`` become EllMatrix."""
+        import scipy.sparse as sp
+
+        def wrap(M):
+            if M is None:
+                return None
+            if sp.issparse(M):
+                return EllMatrix.from_scipy(M)
+            if isinstance(M, (DenseMatrix, EllMatrix)):
+                return M
+            return DenseMatrix(np.asarray(M))
+
+        part = BlockPartition.from_sizes(block_sizes, block_multiple=block_multiple)
+        return Problem(A=wrap(A), b=np.asarray(b), partition=part,
+                       C=wrap(C), d=None if d is None else np.asarray(d),
+                       name=name, x_true=x_true)
+
+    # ---- host-side objective helpers (float64, for oracles/tests) ----
+
+    def objective_np(self, x_flat: np.ndarray) -> float:
+        r = self.A.matvec(np.asarray(x_flat, dtype=np.float64)) - np.asarray(
+            self.b, dtype=np.float64
+        )
+        return 0.5 * float(r @ r)
+
+    def gradient_np(self, x_flat: np.ndarray) -> np.ndarray:
+        r = self.A.matvec(np.asarray(x_flat, dtype=np.float64)) - np.asarray(
+            self.b, dtype=np.float64
+        )
+        return self.A.rmatvec(r)
+
+    def save_npz(self, path: str) -> None:
+        """Serialise to .npz (the framework's native instance format)."""
+        payload = dict(
+            b=self.b,
+            block_sizes=self.partition.sizes,
+            name=np.array(self.name),
+        )
+        if isinstance(self.A, DenseMatrix):
+            payload["A_dense"] = self.A.data
+        else:
+            payload["A_rows"] = self.A.rows
+            payload["A_vals"] = self.A.vals
+            payload["A_num_rows"] = np.array(self.A.num_rows)
+        if self.C is not None:
+            payload["C_dense"] = (
+                self.C.data if isinstance(self.C, DenseMatrix) else self.C.to_scipy().toarray()
+            )
+            payload["d"] = self.d
+        if self.x_true is not None:
+            payload["x_true"] = self.x_true
+        np.savez_compressed(path, **payload)
+
+    @staticmethod
+    def load(path: str) -> "Problem":
+        """Load a .npz instance (or a MATLAB .mat with A/b/block_sizes keys,
+        matching the reference's expected on-disk format, SURVEY.md §2 #13)."""
+        if str(path).endswith(".mat"):
+            from scipy.io import loadmat
+
+            raw = loadmat(path)
+            A = raw["A"]
+            b = np.asarray(raw["b"]).ravel()
+            sizes = np.asarray(raw["block_sizes"]).ravel()
+            C = raw.get("C")
+            d = raw.get("d")
+            d = None if d is None else np.asarray(d).ravel()
+            x_true = raw.get("x_true")
+            x_true = None if x_true is None else np.asarray(x_true).ravel()
+            return Problem.from_arrays(A, b, sizes, C=C, d=d, x_true=x_true, name=str(path))
+        raw = np.load(path, allow_pickle=False)
+        if "A_dense" in raw:
+            A = DenseMatrix(raw["A_dense"])
+        else:
+            A = EllMatrix(rows=raw["A_rows"], vals=raw["A_vals"], num_rows=int(raw["A_num_rows"]))
+        C = DenseMatrix(raw["C_dense"]) if "C_dense" in raw else None
+        d = raw["d"] if "d" in raw else None
+        x_true = raw["x_true"] if "x_true" in raw else None
+        part = BlockPartition.from_sizes(raw["block_sizes"])
+        return Problem(A=A, b=raw["b"], partition=part, C=C, d=d,
+                       name=str(raw.get("name", "problem")), x_true=x_true)

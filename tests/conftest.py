@@ -1,0 +1,14 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+Must set the env vars before jax initialises (SURVEY.md §4b).  Real-TPU
+validation happens through bench.py / benchmarks, not the unit suite.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

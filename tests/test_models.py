@@ -1,0 +1,93 @@
+"""Tests for the problem model: partition, matrices, generators, oracle."""
+import numpy as np
+import pytest
+
+from bsls_tpu.models import BlockPartition, EllMatrix, Problem, oracle_solve, synthetic
+from bsls_tpu.models.oracle import fw_gap_np
+
+
+def test_partition_uniform():
+    p = BlockPartition.uniform(10, 4)
+    assert p.num_blocks == 10 and p.n_flat == 40
+    assert len(p.buckets) == 1
+    b = p.buckets[0]
+    assert b.width == 4 and b.num_blocks == 10
+    assert (b.mask == 1.0).all()
+    x = np.arange(40.0)
+    xp = p.flat_to_padded_np(x)
+    assert xp[0].shape == (10, 4)
+    assert np.allclose(p.padded_to_flat_np(xp), x)
+
+
+def test_partition_ragged_buckets_and_roundtrip():
+    rng = np.random.default_rng(1)
+    sizes = rng.integers(1, 33, size=57)
+    p = BlockPartition.from_sizes(sizes, block_multiple=8)
+    assert p.n_flat == sizes.sum()
+    # every bucket's rows padded to multiple of 8
+    for b in p.buckets:
+        assert b.num_blocks % 8 == 0
+        assert (b.sizes <= b.width).all()
+    # roundtrip
+    x = rng.standard_normal(p.n_flat)
+    assert np.allclose(p.padded_to_flat_np(p.flat_to_padded_np(x)), x)
+    # each real block appears exactly once across buckets
+    ids = np.concatenate([b.block_ids[b.block_ids >= 0] for b in p.buckets])
+    assert sorted(ids.tolist()) == list(range(57))
+
+
+def test_ell_matrix_matches_scipy():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(2)
+    A = sp.random(50, 30, density=0.1, random_state=2, format="csr")
+    E = EllMatrix.from_scipy(A)
+    x = rng.standard_normal(30)
+    r = rng.standard_normal(50)
+    assert np.allclose(E.matvec(x), A @ x)
+    assert np.allclose(E.rmatvec(r), A.T @ r)
+    assert np.allclose(E.to_scipy().toarray(), A.toarray())
+
+
+def test_problem_save_load_roundtrip(tmp_path):
+    prob = synthetic.tiny_dense(seed=3, num_blocks=5, dim=4, m=12)
+    path = str(tmp_path / "inst.npz")
+    prob.save_npz(path)
+    back = Problem.load(path)
+    assert np.allclose(back.b, prob.b)
+    assert np.allclose(back.A.data, prob.A.data)
+    assert (back.partition.sizes == prob.partition.sizes).all()
+
+
+def test_generators_feasible_and_shapes():
+    t = synthetic.tiny_dense(num_blocks=10, dim=5, m=60)
+    assert t.shape == (60, 50)
+    assert t.x_true is not None
+    # planted x feasible
+    off = 0
+    for n in t.partition.sizes:
+        assert abs(t.x_true[off : off + n].sum() - 1) < 1e-9
+        off += n
+
+    msp = synthetic.medium_sparse(num_blocks=50, m=300)
+    assert msp.shape[0] == 300
+    assert isinstance(msp.A, EllMatrix)
+
+    tr = synthetic.traffic_like(num_blocks=30, m=150, num_eq=6)
+    assert tr.C is not None and tr.d is not None
+    assert np.allclose(tr.C.matvec(tr.x_true), tr.d)
+
+    lg = synthetic.large_sharded(num_blocks=64, dim=4, m=128, num_scenarios=3)
+    assert lg.num_scenarios == 3
+    assert lg.b.shape == (3, 128)
+
+
+def test_oracle_certifies_tiny():
+    prob = synthetic.tiny_dense(seed=0, num_blocks=20, dim=6, m=150)
+    res = oracle_solve(prob, tol_gap=1e-10, max_iter=5000)
+    assert res.gap <= 1e-10
+    # objective must be <= objective at the planted point (noise floor)
+    assert res.objective <= prob.objective_np(prob.x_true) + 1e-12
+    # gap really certifies: perturbing increases objective beyond gap bound
+    g = prob.gradient_np(res.x)
+    assert fw_gap_np(g, res.x, prob.partition.sizes) <= 1e-9
