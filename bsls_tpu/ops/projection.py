@@ -1,0 +1,51 @@
+"""Batched block-simplex projection — XLA implementation.
+
+Sort-based algorithm (arXiv:1101.6081, PAPERS.md): per block, sort
+descending, find the pivot rho = max{k : u_k - (cumsum_k - 1)/k > 0},
+threshold tau = (cumsum_rho - 1)/rho, return max(v - tau, 0).
+
+This is the TPU-native equivalent of the reference's C ``proj_simplex_c`` /
+``proj_multi_simplex_c`` (SURVEY.md §2 #1-2).  Operates on a padded
+``(..., B, w)`` layout with a ``(B, w)`` validity mask; padding slots and
+all-padding dummy rows produce zeros.  The fused Pallas variant lives in
+``bsls_tpu.ops.pallas.projection_kernel``; this XLA version is the
+always-available cross-check and the small-width fast path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["proj_simplex_padded", "proj_blocks"]
+
+
+def proj_simplex_padded(v: jnp.ndarray, mask: jnp.ndarray, radius: float = 1.0) -> jnp.ndarray:
+    """Project each row of ``v`` (..., B, w) onto the simplex of its valid slots.
+
+    mask: (B, w) (or broadcastable) with 1.0 on real slots.  Rows whose mask
+    is all zero (dummy blocks) return all zeros.
+    """
+    dt = v.dtype
+    neg = jnp.asarray(jnp.finfo(dt).min, dt)
+    w = v.shape[-1]
+    vm = jnp.where(mask > 0, v, neg)
+    u = -jnp.sort(-vm, axis=-1)  # descending
+    css = jnp.cumsum(jnp.where(jnp.isfinite(u) & (u > neg), u, 0.0), axis=-1)
+    k = jnp.arange(1, w + 1, dtype=dt)
+    widths = jnp.sum(mask > 0, axis=-1, keepdims=True)  # (..., B, 1) int
+    valid_k = jnp.arange(1, w + 1) <= widths
+    cond = (u * k > (css - radius)) & valid_k
+    idx = jnp.arange(w)
+    rho = jnp.max(jnp.where(cond, idx, -1), axis=-1)  # (..., B)
+    rho_c = jnp.maximum(rho, 0)
+    css_rho = jnp.take_along_axis(css, rho_c[..., None], axis=-1)[..., 0]
+    tau = (css_rho - radius) / (rho_c + 1).astype(dt)
+    out = jnp.maximum(v - tau[..., None], 0.0)
+    return jnp.where(mask > 0, out, 0.0)
+
+
+def proj_blocks(xp, buckets, radius: float = 1.0):
+    """Apply the projection to every bucket of a padded pytree."""
+    return tuple(
+        proj_simplex_padded(x, bk.mask, radius) for x, bk in zip(xp, buckets)
+    )

@@ -1,0 +1,50 @@
+"""Quadratic objective helpers and line searches.
+
+The objective 0.5||Ax-b||^2 admits a closed-form exact step along any
+direction d:  t* = -(g.d)/||A d||^2, clipped to the feasible segment — the
+TPU-native equivalent of the reference's C line-search helpers (SURVEY.md
+§2 #5-7).  Under the sharded step these inner products become psum
+reductions (parallel/sharding.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .layout import DeviceProblem, matvec, rmatvec
+
+__all__ = [
+    "residual",
+    "objective_from_residual",
+    "grad_flat",
+    "exact_step",
+    "bb_step",
+]
+
+
+def residual(dp: DeviceProblem, x_flat: jnp.ndarray, b=None) -> jnp.ndarray:
+    return matvec(dp.A, x_flat) - (dp.b if b is None else b)
+
+
+def objective_from_residual(r: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * jnp.vdot(r, r).real
+
+
+def grad_flat(dp: DeviceProblem, r: jnp.ndarray) -> jnp.ndarray:
+    return rmatvec(dp.A, r)
+
+
+def exact_step(g_dot_d: jnp.ndarray, Ad: jnp.ndarray, t_lo=0.0, t_hi=1.0) -> jnp.ndarray:
+    """Exact minimiser of f(x + t d) over [t_lo, t_hi].
+
+    f(x+td) = f(x) + t g.d + t^2/2 ||Ad||^2  =>  t* = -g.d / ||Ad||^2.
+    """
+    den = jnp.vdot(Ad, Ad).real
+    t = -g_dot_d / jnp.maximum(den, 1e-30)
+    return jnp.clip(t, t_lo, t_hi)
+
+
+def bb_step(dx_dot_dx, dx_dot_dg, fallback, t_lo=1e-12, t_hi=1e12):
+    """Barzilai-Borwein step t = (dx.dx)/(dx.dg), guarded for non-positive curvature."""
+    t = dx_dot_dx / jnp.where(dx_dot_dg > 0, dx_dot_dg, 1.0)
+    ok = (dx_dot_dg > 1e-30) & jnp.isfinite(t)
+    return jnp.clip(jnp.where(ok, t, fallback), t_lo, t_hi)

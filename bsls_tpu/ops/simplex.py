@@ -1,0 +1,61 @@
+"""Per-block simplex ops: entropic-mirror (EG) update and Frank-Wolfe vertex.
+
+TPU-native equivalents of the reference's mirror-descent renormalisation and
+FW linear-minimisation oracle (SURVEY.md §2 #10-11).  All run on the padded
+(B, w) layout with masks; EG runs in the log domain for underflow safety
+(SURVEY.md §7 hard part 5).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["eg_update_padded", "eg_update", "fw_vertex_padded", "fw_vertex", "block_min"]
+
+_NEG = -1e30
+
+
+def eg_update_padded(x: jnp.ndarray, g: jnp.ndarray, t, mask: jnp.ndarray) -> jnp.ndarray:
+    """One exponentiated-gradient step per block: x <- x*exp(-t g) renormalised.
+
+    Computed as softmax(log x - t g) over valid slots.  Zero coordinates stay
+    zero (log 0 = -inf handled via the mask floor).
+    """
+    logx = jnp.where((x > 0) & (mask > 0), jnp.log(jnp.maximum(x, 1e-38)), _NEG)
+    s = logx - t * g
+    s = jnp.where(mask > 0, s, _NEG)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - smax) * (mask > 0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    out = e / jnp.maximum(denom, 1e-38)
+    return jnp.where(mask > 0, out, 0.0)
+
+
+def eg_update(xp, gp, t, buckets):
+    return tuple(
+        eg_update_padded(x, g, t, bk.mask) for x, g, bk in zip(xp, gp, buckets)
+    )
+
+
+def fw_vertex_padded(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Frank-Wolfe LMO on a product of simplices: one-hot at each block's argmin.
+
+    Dummy rows (all-padding) return all zeros.
+    """
+    big = jnp.asarray(jnp.finfo(g.dtype).max, g.dtype)
+    gm = jnp.where(mask > 0, g, big)
+    amin = jnp.argmin(gm, axis=-1)
+    out = jax.nn.one_hot(amin, g.shape[-1], dtype=g.dtype)
+    row_valid = jnp.any(mask > 0, axis=-1, keepdims=True)
+    return jnp.where(row_valid, out, 0.0)
+
+
+def fw_vertex(gp, buckets):
+    return tuple(fw_vertex_padded(g, bk.mask) for g, bk in zip(gp, buckets))
+
+
+def block_min(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-block min over valid slots (0 for dummy rows): used for the FW gap."""
+    big = jnp.asarray(jnp.finfo(g.dtype).max, g.dtype)
+    m = jnp.min(jnp.where(mask > 0, g, big), axis=-1)
+    return jnp.where(jnp.any(mask > 0, axis=-1), m, 0.0)

@@ -1,0 +1,53 @@
+"""x <-> z change of variable (block simplex <-> order simplex), padded layout.
+
+Per block of width n:  z_k = sum_{j<=k} x_j  (k = 1..n-1)  maps the simplex
+bijectively onto the order simplex {0 <= z_1 <= ... <= z_{n-1} <= 1}, whose
+Euclidean projection is [0,1]-bounded isotonic regression — the reference's
+signature PAVA trick (SURVEY.md §0, §2 #8; provenance [UNVERIFIED], the
+reference mount was empty — implemented here from the published construction).
+
+Padded representation: z uses the same (B, w) rectangles as x, with valid
+width n_i - 1 per block (the last valid x-slot has no z entry).  The adjoint
+of x(z) is Dt: (Dt g)_k = g_k - g_{k+1}.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["zmask", "x_to_z_padded", "z_to_x_padded", "dz_adjoint_padded"]
+
+
+def zmask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Validity mask for z given the x mask: width n-1 instead of n."""
+    # slot k valid for z iff slot k+1 valid for x
+    return jnp.concatenate([mask[..., 1:], jnp.zeros_like(mask[..., :1])], axis=-1)
+
+
+def x_to_z_padded(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """z_k = cumsum(x)_k for k < n-1 (padded slots -> 0)."""
+    zm = zmask(mask)
+    z = jnp.cumsum(x * (mask > 0), axis=-1)
+    return jnp.where(zm > 0, z, 0.0)
+
+
+def z_to_x_padded(z: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """x_1 = z_1, x_j = z_j - z_{j-1}, x_n = 1 - z_{n-1}; width-1 blocks -> 1."""
+    zm = zmask(mask)
+    zc = jnp.where(zm > 0, z, 0.0)
+    # z extended with an implicit 1 at position n-1 (the last valid x slot)
+    sizes = jnp.sum(mask > 0, axis=-1, keepdims=True)
+    idx = jnp.arange(mask.shape[-1])
+    is_last = (idx == sizes - 1) & (mask > 0)
+    z_ext = jnp.where(is_last, 1.0, zc)
+    z_prev = jnp.concatenate(
+        [jnp.zeros_like(z_ext[..., :1]), z_ext[..., :-1]], axis=-1
+    )
+    x = z_ext - z_prev
+    return jnp.where(mask > 0, x, 0.0)
+
+
+def dz_adjoint_padded(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(D^T g)_k = g_k - g_{k+1} on valid z slots (adjoint of x = D z + e_n)."""
+    zm = zmask(mask)
+    g_next = jnp.concatenate([g[..., 1:], jnp.zeros_like(g[..., :1])], axis=-1)
+    return jnp.where(zm > 0, g - g_next, 0.0)
