@@ -1,0 +1,105 @@
+"""Driver benchmark: one JSON line {"metric","value","unit","vs_baseline"}.
+
+Measures steady-state projected-gradient iterations/sec on the medium
+benchmark config (10k blocks, sparse A ~100k x 50k — BASELINE.json:8) on
+whatever accelerator jax sees (the real TPU chip under the driver), against
+the *measured* single-threaded C baseline (benchmarks/baseline_c) on this
+machine — no published reference numbers exist (see BASELINE.md).
+
+The C baseline result is cached per machine in .bench/ so repeat runs are
+fast; delete .bench/ to re-measure.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+CACHE = os.path.join(HERE, ".bench")
+
+SEED = 0
+C_ITERS = 60
+TPU_WARM_CHUNKS = 1
+TPU_CHUNK = 100
+TPU_CHUNKS = 5
+
+
+def get_problem():
+    from bsls_tpu.models import synthetic
+
+    path = os.path.join(CACHE, "medium.npz")
+    if os.path.exists(path):
+        from bsls_tpu.models import Problem
+
+        return Problem.load(path)
+    prob = synthetic.medium_sparse(seed=SEED)
+    os.makedirs(CACHE, exist_ok=True)
+    prob.save_npz(path)
+    return prob
+
+
+def c_baseline(prob) -> dict:
+    path = os.path.join(CACHE, "c_baseline.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "baseline_runner", os.path.join(HERE, "benchmarks", "baseline_c", "runner.py")
+    )
+    runner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(runner)
+    res = runner.run_baseline(prob, iters=C_ITERS)
+    os.makedirs(CACHE, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(res, f)
+    return res
+
+
+def tpu_run(prob) -> dict:
+    import jax
+
+    import bsls_tpu as bsls
+
+    res = bsls.solve(
+        prob, method="pgd", line_search="exact", tol=0.0,
+        max_iter=TPU_CHUNK * (TPU_WARM_CHUNKS + TPU_CHUNKS), chunk=TPU_CHUNK,
+    )
+    # steady state: skip the compile-laden first chunk
+    times = res.chunk_times[TPU_WARM_CHUNKS:]
+    ips = TPU_CHUNK / float(np.median(times))
+    return {
+        "iters_per_sec": ips,
+        "objective": float(np.asarray(res.objective)),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    prob = get_problem()
+    c = c_baseline(prob)
+    t = tpu_run(prob)
+    out = {
+        "metric": "pgd_iterations_per_sec_medium",
+        "value": round(t["iters_per_sec"], 3),
+        "unit": "iter/s",
+        "vs_baseline": round(t["iters_per_sec"] / c["iters_per_sec"], 3),
+    }
+    print(json.dumps(out))
+    # extra context on stderr (not part of the driver contract)
+    print(
+        f"# device={t['device']} c_baseline={c['iters_per_sec']:.1f} iter/s "
+        f"tpu_objective={t['objective']:.6e} c_objective={c['objective']:.6e}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,5 +15,7 @@ from .models import (
     oracle_solve,
     synthetic,
 )
+from .solvers import SolveResult, solve
+from .parallel import make_mesh
 
 __version__ = "0.1.0"

@@ -18,7 +18,7 @@ import numpy as np
 
 from .partition import BlockPartition
 
-__all__ = ["DenseMatrix", "EllMatrix", "Problem"]
+__all__ = ["DenseMatrix", "EllMatrix", "VStackMatrix", "ScaledMatrix", "Problem"]
 
 
 @dataclass(frozen=True)
@@ -108,6 +108,44 @@ class EllMatrix:
             (self.vals.ravel()[mask], (self.rows.ravel()[mask], cols[mask])),
             shape=self.shape,
         )
+
+
+@dataclass(frozen=True)
+class VStackMatrix:
+    """Vertical stack [A1; A2]: used by the augmented-Lagrangian solver to
+    form [A; sqrt(rho) C] without densifying or re-encoding either part."""
+
+    top: "DenseMatrix | EllMatrix"
+    bottom: "DenseMatrix | EllMatrix"
+
+    @property
+    def shape(self):
+        return (self.top.shape[0] + self.bottom.shape[0], self.top.shape[1])
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        return np.concatenate([self.top.matvec(x), self.bottom.matvec(x)])
+
+    def rmatvec(self, r: np.ndarray) -> np.ndarray:
+        m1 = self.top.shape[0]
+        return self.top.rmatvec(r[:m1]) + self.bottom.rmatvec(r[m1:])
+
+
+@dataclass(frozen=True)
+class ScaledMatrix:
+    """scale * M, lazily applied (used for sqrt(rho) C in augmented systems)."""
+
+    inner: "DenseMatrix | EllMatrix"
+    scale: float
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        return self.scale * self.inner.matvec(x)
+
+    def rmatvec(self, r: np.ndarray) -> np.ndarray:
+        return self.scale * self.inner.rmatvec(r)
 
 
 @dataclass(frozen=True)

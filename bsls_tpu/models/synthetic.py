@@ -55,11 +55,12 @@ def tiny_dense(seed: int = 0, num_blocks: int = 100, dim: int = 10, m: int = 100
 def _route_incidence(rng: np.random.Generator, sizes: np.ndarray, m: int,
                      route_len_lo: int, route_len_hi: int,
                      demand_lo: float = 1.0, demand_hi: float = 100.0):
-    """Build a route->link incidence matrix in column-ELL form.
+    """Build a route->link incidence matrix in column-ELL form (vectorised).
 
     Column j (a route) touches ``L_j`` random links with value = the OD
     demand of its block (demand-scaled incidence, as in route-flow
-    estimation where x holds route *fractions* per OD).
+    estimation where x holds route *fractions* per OD).  Link indices may
+    rarely repeat within a route (harmless for synthetic benchmarks).
     Returns (EllMatrix, demands_per_block).
     """
     n = int(np.sum(sizes))
@@ -67,13 +68,10 @@ def _route_incidence(rng: np.random.Generator, sizes: np.ndarray, m: int,
     demands = rng.uniform(demand_lo, demand_hi, size=B)
     col_demand = np.repeat(demands, sizes)
     k = route_len_hi
-    rows = np.zeros((n, k), dtype=np.int32)
-    vals = np.zeros((n, k), dtype=np.float64)
     lens = rng.integers(route_len_lo, route_len_hi + 1, size=n)
-    for j in range(n):
-        L = int(lens[j])
-        rows[j, :L] = rng.choice(m, size=L, replace=False)
-        vals[j, :L] = col_demand[j]
+    active = np.arange(k)[None, :] < lens[:, None]
+    rows = np.where(active, rng.integers(0, m, size=(n, k)), 0).astype(np.int32)
+    vals = np.where(active, col_demand[:, None], 0.0)
     return EllMatrix(rows=rows, vals=vals, num_rows=m), demands
 
 

@@ -86,10 +86,17 @@ def pava_padded(
         ).reshape(-1, w)[:B]
     out = sgn * out
     if lo is not None or hi is not None:
-        out = jnp.clip(out, lo, hi)
+        lo_a = None if lo is None else jnp.asarray(lo, y.dtype)
+        hi_a = None if hi is None else jnp.asarray(hi, y.dtype)
+        if hi_a is not None and hi_a.ndim >= 1:
+            hi_a = hi_a[..., None]  # per-row upper bound (B, 1)
+        if lo_a is not None and lo_a.ndim >= 1:
+            lo_a = lo_a[..., None]
+        out = jnp.clip(out, lo_a, hi_a)
     return jnp.where(mask > 0, out, 0.0)
 
 
-def pava_blocks(yp, buckets, lo=0.0, hi=1.0):
-    """Apply bounded isotonic regression to every bucket of a padded pytree."""
-    return tuple(pava_padded(y, bk.mask, lo, hi) for y, bk in zip(yp, buckets))
+def pava_blocks(yp, buckets):
+    """Apply [0, radius]-bounded isotonic regression per bucket (z-space
+    projection onto the radius-scaled order simplex)."""
+    return tuple(pava_padded(y, bk.mask, 0.0, bk.radius) for y, bk in zip(yp, buckets))

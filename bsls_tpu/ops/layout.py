@@ -1,41 +1,51 @@
-"""Device-side problem layout: padded<->flat conversions and matrix structs.
+"""Device-side problem layout: the padded-flat ("PF") data path.
 
-Everything here is jit-compatible: static structure (widths, counts,
-contiguity flags) lives in pytree metadata; all data is jnp arrays.
+Key design decision (TPU-first): instead of gather/scatter between the
+user's flat x ordering and the padded per-bucket rectangles every iteration,
+the columns of A are permuted **once at prepare time** into *device-major,
+bucket-minor, padded* order — one (zero) column per padded slot.  Then
 
-The per-iteration data path is
+    padded buckets  <-> PF flat vector      is a reshape/concat (free), and
+    block-sharding the buckets on a mesh    slices A's columns contiguously,
 
-    xp (padded buckets) --scatter--> x_flat --A--> r --A^T--> g_flat
-      --gather--> gp (padded)  --> per-block kernel --> xp'
+so the hot loop contains no gathers at all: matvec, A^T r, per-block kernels
+and reshapes only.  The cost is a bounded fraction of zero columns in A
+(padding waste < 2x within a bucket, typically ~15%).
 
-with the scatter/gather collapsing to reshapes for trivially-contiguous
-buckets (uniform block size, no dummy rows), which is the layout the large
-benchmark configs use.
+``reduce_axis`` marks a DeviceProblem as shard-local: cross-device inner
+products and residual assembly then psum over that mesh axis (the
+BASELINE.json:5 "block-local compute with psum/all-reduce collectives").
 """
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.partition import BlockPartition
-from ..models.problem import DenseMatrix, EllMatrix, Problem
+from ..models.problem import DenseMatrix, EllMatrix, Problem, ScaledMatrix, VStackMatrix
 
 __all__ = [
     "DeviceDense",
     "DeviceEll",
+    "DeviceVStack",
     "DeviceBucket",
     "DeviceProblem",
+    "build_pf_perm",
+    "to_device_matrix",
     "prepare",
     "flat_to_padded",
     "padded_to_flat",
+    "extract_user_flat",
     "matvec",
     "rmatvec",
-    "tree_vdot",
+    "matvec_ps",
+    "pvdot",
+    "psum_if_sharded",
     "feasible_init",
 ]
 
@@ -47,7 +57,7 @@ def _register(cls, data_fields, meta_fields):
 
 @dataclass(frozen=True)
 class DeviceDense:
-    data: jnp.ndarray  # (m, n)
+    data: jnp.ndarray  # (m, n_pf)
 
 
 _register(DeviceDense, ["data"], [])
@@ -57,26 +67,39 @@ _register(DeviceDense, ["data"], [])
 class DeviceEll:
     """Column-oriented ELL sparse matrix on device (see models.problem.EllMatrix)."""
 
-    rows: jnp.ndarray  # (n, k) int32
-    vals: jnp.ndarray  # (n, k)
+    rows: jnp.ndarray  # (n_pf, k) int32
+    vals: jnp.ndarray  # (n_pf, k)
     num_rows: int  # static
 
 
 _register(DeviceEll, ["rows", "vals"], ["num_rows"])
 
-DeviceMatrix = Union[DeviceDense, DeviceEll]
+
+@dataclass(frozen=True)
+class DeviceVStack:
+    """[top; scale*bottom] vertical stack; the scale is a traced leaf so the
+    augmented-Lagrangian rho can change without recompiling."""
+
+    top: "DeviceMatrix"
+    bottom: "DeviceMatrix"
+    bottom_scale: jnp.ndarray  # scalar
+    split: int  # static: rows in top
+
+
+_register(DeviceVStack, ["top", "bottom", "bottom_scale"], ["split"])
+
+DeviceMatrix = Union[DeviceDense, DeviceEll, "DeviceVStack"]
 
 
 @dataclass(frozen=True)
 class DeviceBucket:
-    p2f: jnp.ndarray  # (Bk, w) int32 flat index per padded slot (0 if invalid)
-    mask: jnp.ndarray  # (Bk, w) dtype mask, 1.0 real / 0.0 padding
+    mask: jnp.ndarray  # (Bk, w) 1.0 real / 0.0 padding
     sizes: jnp.ndarray  # (Bk,) int32 true block sizes (0 for dummy rows)
+    radius: jnp.ndarray  # (Bk,) simplex radius per block (block equilibration)
     width: int  # static
-    contiguous: bool  # static: p2f == arange (scatter/gather are reshapes)
 
 
-_register(DeviceBucket, ["p2f", "mask", "sizes"], ["width", "contiguous"])
+_register(DeviceBucket, ["mask", "sizes", "radius"], ["width"])
 
 
 @dataclass(frozen=True)
@@ -84,87 +107,211 @@ class DeviceProblem:
     A: DeviceMatrix
     b: jnp.ndarray  # (m,) single scenario or (S, m)
     buckets: tuple  # tuple[DeviceBucket, ...]
-    n_flat: int  # static
+    perm: jnp.ndarray  # (n_pf,) int32: user-flat index per PF slot, -1 = pad
+    n_user: int  # static: user flat length N
     num_rows: int  # static
+    reduce_axis: Optional[str] = None  # static: mesh axis for psum (sharded)
+
+    @property
+    def n_pf(self) -> int:
+        return self.perm.shape[0]
 
 
-_register(DeviceProblem, ["A", "b", "buckets"], ["n_flat", "num_rows"])
+_register(DeviceProblem, ["A", "b", "buckets", "perm"], ["n_user", "num_rows", "reduce_axis"])
 
 
-def prepare(problem: Problem, dtype=jnp.float32) -> DeviceProblem:
-    """Move a host Problem to device-side layout (single process, no mesh).
+# ---------------- preparation (host side, numpy) ----------------
 
-    The sharded preparation lives in bsls_tpu.parallel.sharding.
+
+def build_pf_perm(part: BlockPartition, n_shards: int = 1) -> np.ndarray:
+    """PF column order: device-major, bucket-minor, row-major, slot-minor.
+
+    Returns (n_pf,) int32: the user-flat column index of each PF slot, or -1
+    for padding slots.  Requires every bucket's row count to divide n_shards.
+    """
+    chunks = []
+    for d in range(n_shards):
+        for b in part.buckets:
+            Bk = b.num_blocks
+            if Bk % n_shards:
+                raise ValueError(
+                    f"bucket with {Bk} rows not divisible by n_shards={n_shards}; "
+                    f"rebuild the partition with block_multiple={n_shards}"
+                )
+            lo, hi = d * Bk // n_shards, (d + 1) * Bk // n_shards
+            p2f = b.pad_to_flat[lo:hi]
+            real = b.mask[lo:hi] > 0
+            chunks.append(np.where(real, p2f, -1).astype(np.int32).reshape(-1))
+    perm = np.concatenate(chunks)
+    assert perm.size == part.padded_size
+    return perm
+
+
+def to_device_matrix(M, perm: np.ndarray, dtype=jnp.float32, col_scale=None) -> "DeviceMatrix":
+    """Move a host matrix to device with PF column permutation/padding.
+
+    ``col_scale`` (N,) divides each user column (block equilibration)."""
+    sel = perm >= 0
+    cs = None if col_scale is None else np.asarray(col_scale)[perm[sel]]
+    if isinstance(M, DenseMatrix):
+        data = np.zeros((M.shape[0], perm.size), dtype=np.float32)
+        cols = np.asarray(M.data)[:, perm[sel]]
+        data[:, sel] = cols if cs is None else cols / cs
+        return DeviceDense(data=jnp.asarray(data, dtype=dtype))
+    if isinstance(M, EllMatrix):
+        rows = np.zeros((perm.size, M.k), dtype=np.int32)
+        vals = np.zeros((perm.size, M.k), dtype=np.float32)
+        rows[sel] = np.asarray(M.rows)[perm[sel]]
+        v = np.asarray(M.vals)[perm[sel]]
+        vals[sel] = v if cs is None else v / cs[:, None]
+        return DeviceEll(
+            rows=jnp.asarray(rows), vals=jnp.asarray(vals, dtype=dtype), num_rows=M.num_rows
+        )
+    if isinstance(M, VStackMatrix):
+        scale = 1.0
+        bottom = M.bottom
+        if isinstance(bottom, ScaledMatrix):
+            scale, bottom = bottom.scale, bottom.inner
+        return DeviceVStack(
+            top=to_device_matrix(M.top, perm, dtype, col_scale),
+            bottom=to_device_matrix(bottom, perm, dtype, col_scale),
+            bottom_scale=jnp.asarray(scale, dtype),
+            split=M.top.shape[0],
+        )
+    raise TypeError(f"unsupported host matrix type {type(M)}")
+
+
+def _col_norms_sq(M) -> np.ndarray:
+    """Host-side squared column norms (for equilibration)."""
+    if isinstance(M, DenseMatrix):
+        return (np.asarray(M.data) ** 2).sum(axis=0)
+    if isinstance(M, EllMatrix):
+        return (np.asarray(M.vals) ** 2).sum(axis=1)
+    if isinstance(M, ScaledMatrix):
+        return M.scale**2 * _col_norms_sq(M.inner)
+    if isinstance(M, VStackMatrix):
+        return _col_norms_sq(M.top) + _col_norms_sq(M.bottom)
+    raise TypeError(f"unsupported host matrix type {type(M)}")
+
+
+def block_scales(problem: Problem) -> np.ndarray:
+    """Per-block equilibration scale c_b = RMS column norm of A over the block.
+
+    Solving in u = c_b * x (simplex radius c_b, A columns divided by c_b)
+    equalises block curvatures — demand-scaled traffic instances otherwise
+    condition the problem by (max demand / min demand)^2.
     """
     part = problem.partition
-    buckets = []
-    offset_check = 0
-    for b in part.buckets:
-        p2f = np.asarray(b.pad_to_flat)
-        contiguous = bool(
-            np.array_equal(p2f.ravel(), np.arange(offset_check, offset_check + p2f.size))
-        )
-        offset_check += p2f.size
-        buckets.append(
-            DeviceBucket(
-                p2f=jnp.asarray(p2f, dtype=jnp.int32),
-                mask=jnp.asarray(b.mask, dtype=dtype),
-                sizes=jnp.asarray(b.sizes, dtype=jnp.int32),
-                width=b.width,
-                contiguous=contiguous,
-            )
-        )
-    if isinstance(problem.A, DenseMatrix):
-        A = DeviceDense(data=jnp.asarray(problem.A.data, dtype=dtype))
+    cn2 = _col_norms_sq(problem.A)
+    sizes = part.sizes
+    block_of_col = np.repeat(np.arange(part.num_blocks), sizes)
+    sums = np.zeros(part.num_blocks)
+    np.add.at(sums, block_of_col, cn2)
+    c = np.sqrt(sums / np.maximum(sizes, 1))
+    c[c <= 0] = 1.0
+    return c
+
+
+def prepare(
+    problem: Problem,
+    dtype=jnp.float32,
+    n_shards: int = 1,
+    reduce_axis: Optional[str] = None,
+    equilibrate: bool = True,
+) -> DeviceProblem:
+    """Move a host Problem into the device-side PF layout.
+
+    ``n_shards > 1`` lays A's columns out device-major for a block-sharded
+    mesh (see bsls_tpu.parallel.sharding); the single-device layout is the
+    n_shards=1 special case of the same path.
+    """
+    part = problem.partition
+    perm = build_pf_perm(part, n_shards)
+    if equilibrate:
+        c = block_scales(problem)
+        col_scale = np.repeat(c, part.sizes)
     else:
-        A = DeviceEll(
-            rows=jnp.asarray(problem.A.rows, dtype=jnp.int32),
-            vals=jnp.asarray(problem.A.vals, dtype=dtype),
-            num_rows=problem.A.num_rows,
+        c = np.ones(part.num_blocks)
+        col_scale = None
+    buckets = tuple(
+        DeviceBucket(
+            mask=jnp.asarray(b.mask, dtype=dtype),
+            sizes=jnp.asarray(b.sizes, dtype=jnp.int32),
+            radius=jnp.asarray(
+                np.where(b.block_ids >= 0, c[np.maximum(b.block_ids, 0)], 1.0), dtype=dtype
+            ),
+            width=b.width,
         )
+        for b in part.buckets
+    )
     return DeviceProblem(
-        A=A,
+        A=to_device_matrix(problem.A, perm, dtype, col_scale),
         b=jnp.asarray(problem.b, dtype=dtype),
-        buckets=tuple(buckets),
-        n_flat=part.n_flat,
+        buckets=buckets,
+        perm=jnp.asarray(perm),
+        n_user=part.n_flat,
         num_rows=problem.A.shape[0],
+        reduce_axis=reduce_axis,
     )
 
 
-# ---------------- layout conversions ----------------
+# ---------------- layout conversions (device, shape-driven) ----------------
+
+
+def padded_to_flat(dp: DeviceProblem, xp) -> jnp.ndarray:
+    """Padded buckets -> PF flat vector: pure reshape/concat (zero-copy-ish)."""
+    parts = [x.reshape(*x.shape[:-2], -1) for x in xp]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def flat_to_padded(dp: DeviceProblem, x_flat: jnp.ndarray):
-    """Gather flat (N,) -> tuple of (B_k, w_k) padded arrays."""
+    """PF flat vector -> padded buckets: split + reshape.
+
+    Shape-driven from the bucket masks, so it works unchanged on shard-local
+    views inside shard_map.
+    """
     out = []
     off = 0
+    lead = x_flat.shape[:-1]
     for bk in dp.buckets:
-        size = bk.p2f.size
-        if bk.contiguous:
-            out.append(jax.lax.dynamic_slice_in_dim(x_flat, off, size).reshape(bk.p2f.shape))
-        else:
-            out.append(x_flat[bk.p2f] * bk.mask)
+        rows, w = bk.mask.shape
+        size = rows * w
+        seg = jax.lax.dynamic_slice_in_dim(x_flat, off, size, axis=-1)
+        out.append(seg.reshape(*lead, rows, w))
         off += size
     return tuple(out)
 
 
-def padded_to_flat(dp: DeviceProblem, xp) -> jnp.ndarray:
-    """Scatter tuple of (B_k, w_k) padded arrays -> flat (N,)."""
-    if all(bk.contiguous for bk in dp.buckets):
-        return jnp.concatenate([x.reshape(-1) for x in xp])
-    out = jnp.zeros((dp.n_flat,), dtype=xp[0].dtype)
-    for bk, x in zip(dp.buckets, xp):
-        out = out.at[bk.p2f.reshape(-1)].add((x * bk.mask).reshape(-1))
-    return out
+def extract_user_flat(dp: DeviceProblem, xp) -> jnp.ndarray:
+    """Map padded buckets back to the user's flat ordering (N,), undoing the
+    equilibration scaling (u -> x = u / c_b).  Not a hot-path op — used once
+    at result extraction (single-device path only)."""
+    xs = tuple(
+        x / jnp.maximum(bk.radius, 1e-30)[:, None] for x, bk in zip(xp, dp.buckets)
+    )
+    x_pf = padded_to_flat(dp, xs)
+    sel = dp.perm >= 0
+    idx = jnp.where(sel, dp.perm, 0)
+    if x_pf.ndim == 1:
+        return jnp.zeros((dp.n_user,), x_pf.dtype).at[idx].add(jnp.where(sel, x_pf, 0))
+    # leading scenario axis
+    S = x_pf.shape[0]
+    return (
+        jnp.zeros((S, dp.n_user), x_pf.dtype)
+        .at[:, idx]
+        .add(jnp.where(sel[None, :], x_pf, 0))
+    )
 
 
 # ---------------- matvec ----------------
 
 
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """A @ x for flat x (N,)."""
+    """A @ x for PF flat x (shard-local partial result when sharded)."""
     if isinstance(A, DeviceDense):
         return A.data @ x
+    if isinstance(A, DeviceVStack):
+        return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
     contrib = A.vals * x[:, None]  # (n, k)
     return jax.ops.segment_sum(
         contrib.reshape(-1), A.rows.reshape(-1), num_segments=A.num_rows
@@ -172,26 +319,52 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
-    """A^T @ r -> flat (N,)."""
+    """A^T @ r -> PF flat (always shard-local: r is replicated)."""
     if isinstance(A, DeviceDense):
         return A.data.T @ r
+    if isinstance(A, DeviceVStack):
+        return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
     return jnp.sum(A.vals * r[A.rows], axis=1)
+
+
+def psum_if_sharded(dp: DeviceProblem, v):
+    return jax.lax.psum(v, dp.reduce_axis) if dp.reduce_axis else v
+
+
+def matvec_ps(dp: DeviceProblem, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x assembled across the block shards: local partial + psum.
+
+    This is THE residual collective of the sharded step (SURVEY.md §3e)."""
+    return psum_if_sharded(dp, matvec(dp.A, x))
+
+
+def pvdot(dp: DeviceProblem, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inner product of two block-sharded (PF or bucket-flat) vectors."""
+    return psum_if_sharded(dp, jnp.vdot(a, b).real)
 
 
 # ---------------- small helpers ----------------
 
 
-def tree_vdot(xs, ys) -> jnp.ndarray:
-    """Sum of elementwise products over a matching pair of pytrees."""
-    parts = jax.tree_util.tree_map(lambda a, b: jnp.vdot(a, b), xs, ys)
-    return jax.tree_util.tree_reduce(jnp.add, parts)
+def inject_user_flat(dp: DeviceProblem, x_user: jnp.ndarray):
+    """Inverse of extract_user_flat: user-flat x -> padded equilibrated
+    buckets (u = c_b * x).  Used for warm starts."""
+    rad_p = tuple(
+        jnp.broadcast_to(bk.radius[:, None], bk.mask.shape) * bk.mask for bk in dp.buckets
+    )
+    scale_pf = padded_to_flat(dp, rad_p)
+    sel = dp.perm >= 0
+    u_pf = jnp.where(sel, x_user[jnp.maximum(dp.perm, 0)] * scale_pf, 0.0)
+    return flat_to_padded(dp, u_pf)
 
 
 def feasible_init(dp: DeviceProblem, dtype=None):
-    """Uniform feasible start: 1/n_i on each real block, 0 on padding."""
+    """Uniform feasible start: radius/n_i on each real block, 0 on padding."""
     xp = []
     for bk in dp.buckets:
         d = dtype or bk.mask.dtype
-        inv = jnp.where(bk.sizes > 0, 1.0 / jnp.maximum(bk.sizes, 1).astype(d), 0.0)
+        inv = jnp.where(
+            bk.sizes > 0, bk.radius / jnp.maximum(bk.sizes, 1).astype(d), 0.0
+        )
         xp.append(bk.mask.astype(d) * inv[:, None])
     return tuple(xp)

@@ -19,33 +19,39 @@ import jax.numpy as jnp
 __all__ = ["proj_simplex_padded", "proj_blocks"]
 
 
-def proj_simplex_padded(v: jnp.ndarray, mask: jnp.ndarray, radius: float = 1.0) -> jnp.ndarray:
-    """Project each row of ``v`` (..., B, w) onto the simplex of its valid slots.
+def proj_simplex_padded(v: jnp.ndarray, mask: jnp.ndarray, radius=1.0) -> jnp.ndarray:
+    """Project each row of ``v`` (..., B, w) onto the radius-scaled simplex of
+    its valid slots: {x >= 0 on valid slots, sum x = radius}.
 
-    mask: (B, w) (or broadcastable) with 1.0 on real slots.  Rows whose mask
-    is all zero (dummy blocks) return all zeros.
+    mask: (B, w) (or broadcastable) with 1.0 on real slots.  ``radius`` is a
+    scalar or a per-row (B,) array (block equilibration).  Rows whose mask is
+    all zero (dummy blocks) return all zeros.
     """
     dt = v.dtype
     neg = jnp.asarray(jnp.finfo(dt).min, dt)
     w = v.shape[-1]
+    rad = jnp.asarray(radius, dt)
+    if rad.ndim >= 1:
+        rad = rad[..., None]  # (B, 1) broadcast over slots
     vm = jnp.where(mask > 0, v, neg)
     u = -jnp.sort(-vm, axis=-1)  # descending
-    css = jnp.cumsum(jnp.where(jnp.isfinite(u) & (u > neg), u, 0.0), axis=-1)
+    css = jnp.cumsum(jnp.where(u > neg, u, 0.0), axis=-1)
     k = jnp.arange(1, w + 1, dtype=dt)
     widths = jnp.sum(mask > 0, axis=-1, keepdims=True)  # (..., B, 1) int
     valid_k = jnp.arange(1, w + 1) <= widths
-    cond = (u * k > (css - radius)) & valid_k
+    cond = (u * k > (css - rad)) & valid_k
     idx = jnp.arange(w)
     rho = jnp.max(jnp.where(cond, idx, -1), axis=-1)  # (..., B)
     rho_c = jnp.maximum(rho, 0)
-    css_rho = jnp.take_along_axis(css, rho_c[..., None], axis=-1)[..., 0]
-    tau = (css_rho - radius) / (rho_c + 1).astype(dt)
-    out = jnp.maximum(v - tau[..., None], 0.0)
+    css_rho = jnp.take_along_axis(css, rho_c[..., None], axis=-1)
+    tau = (css_rho - rad) / (rho_c + 1)[..., None].astype(dt)
+    out = jnp.maximum(v - tau, 0.0)
     return jnp.where(mask > 0, out, 0.0)
 
 
-def proj_blocks(xp, buckets, radius: float = 1.0):
-    """Apply the projection to every bucket of a padded pytree."""
+def proj_blocks(xp, buckets):
+    """Apply the projection to every bucket of a padded pytree (per-bucket
+    radii from equilibration)."""
     return tuple(
-        proj_simplex_padded(x, bk.mask, radius) for x, bk in zip(xp, buckets)
+        proj_simplex_padded(x, bk.mask, bk.radius) for x, bk in zip(xp, buckets)
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .layout import DeviceProblem, matvec, rmatvec
+from .layout import DeviceProblem, matvec, matvec_ps, rmatvec
 
 __all__ = [
     "residual",
@@ -22,7 +22,8 @@ __all__ = [
 
 
 def residual(dp: DeviceProblem, x_flat: jnp.ndarray, b=None) -> jnp.ndarray:
-    return matvec(dp.A, x_flat) - (dp.b if b is None else b)
+    """r = A x - b; under a block-sharded mesh the partial matvec psums."""
+    return matvec_ps(dp, x_flat) - (dp.b if b is None else b)
 
 
 def objective_from_residual(r: jnp.ndarray) -> jnp.ndarray:

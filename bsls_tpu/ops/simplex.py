@@ -15,11 +15,17 @@ __all__ = ["eg_update_padded", "eg_update", "fw_vertex_padded", "fw_vertex", "bl
 _NEG = -1e30
 
 
-def eg_update_padded(x: jnp.ndarray, g: jnp.ndarray, t, mask: jnp.ndarray) -> jnp.ndarray:
-    """One exponentiated-gradient step per block: x <- x*exp(-t g) renormalised.
+def _rad(radius, dtype):
+    r = jnp.asarray(radius, dtype)
+    return r[..., None] if r.ndim >= 1 else r
 
-    Computed as softmax(log x - t g) over valid slots.  Zero coordinates stay
-    zero (log 0 = -inf handled via the mask floor).
+
+def eg_update_padded(x: jnp.ndarray, g: jnp.ndarray, t, mask: jnp.ndarray, radius=1.0) -> jnp.ndarray:
+    """One exponentiated-gradient step per block: x <- x*exp(-t g) renormalised
+    to the block's radius.
+
+    Computed as radius * softmax(log x - t g) over valid slots.  Zero
+    coordinates stay zero (log 0 = -inf handled via the mask floor).
     """
     logx = jnp.where((x > 0) & (mask > 0), jnp.log(jnp.maximum(x, 1e-38)), _NEG)
     s = logx - t * g
@@ -27,31 +33,30 @@ def eg_update_padded(x: jnp.ndarray, g: jnp.ndarray, t, mask: jnp.ndarray) -> jn
     smax = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - smax) * (mask > 0)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    out = e / jnp.maximum(denom, 1e-38)
+    out = _rad(radius, x.dtype) * e / jnp.maximum(denom, 1e-38)
     return jnp.where(mask > 0, out, 0.0)
 
 
 def eg_update(xp, gp, t, buckets):
     return tuple(
-        eg_update_padded(x, g, t, bk.mask) for x, g, bk in zip(xp, gp, buckets)
+        eg_update_padded(x, g, t, bk.mask, bk.radius)
+        for x, g, bk in zip(xp, gp, buckets)
     )
 
 
-def fw_vertex_padded(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Frank-Wolfe LMO on a product of simplices: one-hot at each block's argmin.
-
-    Dummy rows (all-padding) return all zeros.
-    """
+def fw_vertex_padded(g: jnp.ndarray, mask: jnp.ndarray, radius=1.0) -> jnp.ndarray:
+    """Frank-Wolfe LMO on a product of (radius-scaled) simplices:
+    radius * one_hot(argmin) per block.  Dummy rows return all zeros."""
     big = jnp.asarray(jnp.finfo(g.dtype).max, g.dtype)
     gm = jnp.where(mask > 0, g, big)
     amin = jnp.argmin(gm, axis=-1)
-    out = jax.nn.one_hot(amin, g.shape[-1], dtype=g.dtype)
+    out = _rad(radius, g.dtype) * jax.nn.one_hot(amin, g.shape[-1], dtype=g.dtype)
     row_valid = jnp.any(mask > 0, axis=-1, keepdims=True)
     return jnp.where(row_valid, out, 0.0)
 
 
 def fw_vertex(gp, buckets):
-    return tuple(fw_vertex_padded(g, bk.mask) for g, bk in zip(gp, buckets))
+    return tuple(fw_vertex_padded(g, bk.mask, bk.radius) for g, bk in zip(gp, buckets))
 
 
 def block_min(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

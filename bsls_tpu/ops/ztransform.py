@@ -30,15 +30,19 @@ def x_to_z_padded(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(zm > 0, z, 0.0)
 
 
-def z_to_x_padded(z: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """x_1 = z_1, x_j = z_j - z_{j-1}, x_n = 1 - z_{n-1}; width-1 blocks -> 1."""
+def z_to_x_padded(z: jnp.ndarray, mask: jnp.ndarray, radius=1.0) -> jnp.ndarray:
+    """x_1 = z_1, x_j = z_j - z_{j-1}, x_n = radius - z_{n-1};
+    width-1 blocks -> radius."""
     zm = zmask(mask)
     zc = jnp.where(zm > 0, z, 0.0)
-    # z extended with an implicit 1 at position n-1 (the last valid x slot)
+    rad = jnp.asarray(radius, z.dtype)
+    if rad.ndim >= 1:
+        rad = rad[..., None]
+    # z extended with an implicit `radius` at position n-1 (last valid x slot)
     sizes = jnp.sum(mask > 0, axis=-1, keepdims=True)
     idx = jnp.arange(mask.shape[-1])
     is_last = (idx == sizes - 1) & (mask > 0)
-    z_ext = jnp.where(is_last, 1.0, zc)
+    z_ext = jnp.where(is_last, rad, zc)
     z_prev = jnp.concatenate(
         [jnp.zeros_like(z_ext[..., :1]), z_ext[..., :-1]], axis=-1
     )

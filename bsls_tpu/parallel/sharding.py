@@ -1,0 +1,257 @@
+"""Sharded solve: shard_map'd solver steps over a ('block','scenario') mesh.
+
+Layout (SURVEY.md §2b, §3e):
+  * bucket arrays (Bk, w)        -> P('block', None)       x/g/masks by block
+  * dense A (m, n_pf)            -> P(None, 'block')       columns by block
+  * ELL rows/vals (n_pf, k)      -> P('block', None)       columns by block
+  * b (S, m)                     -> P('scenario', None)    RHS by scenario
+  * residual r                   -> replicated over 'block' (assembled by psum)
+
+Each device computes its partial A_s @ x_s; the residual assembles with a
+single psum over 'block' per iteration; A^T r is then block-local.  Line
+search and gap inner products psum likewise (``reduce_axis='block'`` in the
+DeviceProblem makes every L.pvdot/L.matvec_ps collective-aware, so the
+*same solver step functions* run sharded and unsharded).  Scenarios are
+vmapped locally, sharded across the 'scenario' axis.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.problem import Problem
+from ..ops import layout as L
+from .mesh import BLOCK_AXIS, SCENARIO_AXIS
+
+__all__ = ["shard_problem", "solve_sharded"]
+
+
+# ---------------- spec construction ----------------
+
+_LEAF_SPECS = {
+    "data": P(None, BLOCK_AXIS),  # dense A columns
+    "rows": P(BLOCK_AXIS, None),  # ELL (column-oriented)
+    "vals": P(BLOCK_AXIS, None),
+    "bottom_scale": P(),
+    "mask": P(BLOCK_AXIS, None),
+    "sizes": P(BLOCK_AXIS),
+    "radius": P(BLOCK_AXIS),
+    "b": P(SCENARIO_AXIS, None),
+    "perm": P(BLOCK_AXIS),
+}
+
+_STATE_SPECS = {
+    "r": P(SCENARIO_AXIS, None),
+    "ry": P(SCENARIO_AXIS, None),
+    "f": P(SCENARIO_AXIS),
+    "gap": P(SCENARIO_AXIS),
+    "k": P(SCENARIO_AXIS),
+    "t_mom": P(SCENARIO_AXIS),
+    "x_prev": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "g_prev": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "xp": P(SCENARIO_AXIS, BLOCK_AXIS, None),
+    "yp": P(SCENARIO_AXIS, BLOCK_AXIS, None),
+}
+
+
+def _path_name(path) -> str:
+    for entry in reversed(path):
+        name = getattr(entry, "name", None)
+        if name is not None:
+            return str(name)
+        # tuple/list index inside xp: keep walking up to the field name
+    return ""
+
+
+def dp_specs(dp: L.DeviceProblem):
+    """PartitionSpec pytree matching a DeviceProblem."""
+
+    def spec_for(path, leaf):
+        name = _path_name(path)
+        if name in _LEAF_SPECS:
+            return _LEAF_SPECS[name]
+        raise ValueError(f"no sharding rule for DeviceProblem leaf {path}")
+
+    return jax.tree_util.tree_map_with_path(spec_for, dp)
+
+
+def state_specs(state):
+    """PartitionSpec pytree for a solver state (leading scenario axis)."""
+
+    def spec_for(path, leaf):
+        name = _path_name(path)
+        if name in _STATE_SPECS:
+            return _STATE_SPECS[name]
+        raise ValueError(f"no sharding rule for state leaf {path} (name={name!r})")
+
+    return jax.tree_util.tree_map_with_path(spec_for, state)
+
+
+# ---------------- problem sharding ----------------
+
+
+def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
+    """Prepare + device_put a Problem onto the mesh.
+
+    Rebuilds the partition so every bucket's rows divide the block axis and
+    lays A's columns out device-major (L.prepare(n_shards=nb)).
+    Returns (dp_sharded, part) where dp.reduce_axis='block'.
+    """
+    from ..models.partition import BlockPartition
+
+    nb = mesh.shape[BLOCK_AXIS]
+    ns = mesh.shape[SCENARIO_AXIS]
+    part = problem.partition
+    if any(b.num_blocks % nb for b in part.buckets):
+        part = BlockPartition.from_sizes(part.sizes, block_multiple=nb)
+        problem = replace(problem, partition=part)
+    b = np.asarray(problem.b)
+    if b.ndim == 1:
+        b = b[None, :]
+    if b.shape[0] % ns:
+        raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
+    problem = replace(problem, b=b)
+    dp = L.prepare(problem, dtype=dtype, n_shards=nb, reduce_axis=BLOCK_AXIS)
+    specs = dp_specs(dp)
+    dp = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
+    )
+    return dp, part
+
+
+# ---------------- sharded driver ----------------
+
+
+def _vmapped(fn, dp):
+    """vmap a (dp, state)->state solver fn over the local scenario axis of b."""
+
+    def inner(dp_loc, *args):
+        return jax.vmap(lambda b, *a: fn(replace(dp_loc, b=b), *a))(dp_loc.b, *args)
+
+    return inner
+
+
+def solve_sharded(
+    problem: Problem,
+    mesh,
+    method: str = "pgd",
+    tol: float = 1e-6,
+    max_iter: int = 10_000,
+    chunk: int = 100,
+    line_search: str = "exact",
+    step_size: float = 0.0,
+    dtype=jnp.float32,
+    verbose: bool = False,
+):
+    """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
+    (S, m) (S=1 for a single RHS) and results keep the scenario axis."""
+    from ..solvers.base import SolveOptions, SolveResult, _get_solver, power_lipschitz
+
+    if isinstance(problem, Problem) and problem.C is not None:
+        raise NotImplementedError("sharded equality-constrained solve: wrap with AL manually")
+
+    single_rhs = np.asarray(problem.b).ndim == 1
+    dp, part = shard_problem(problem, mesh, dtype=dtype)
+    opts = SolveOptions(
+        method=method, line_search=line_search, tol=tol,
+        max_iter=max_iter, chunk=chunk, step_size=step_size,
+    )
+    solver = _get_solver(method)
+    dspecs = dp_specs(dp)
+
+    lips = jax.jit(
+        jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
+    )
+    L_est = lips(dp)
+
+    def _init(dp_loc, L_loc):
+        return jax.vmap(lambda b: solver.init(replace(dp_loc, b=b), L_loc, opts))(dp_loc.b)
+
+    # out_specs for shard_map are declared by state-field name; derive the
+    # state *structure* (not shapes) via eval_shape with collectives disabled
+    state_struct = jax.eval_shape(
+        lambda d: jax.vmap(
+            lambda b: solver.init(
+                replace(d, b=b, reduce_axis=None), jnp.asarray(1.0, dtype), opts
+            )
+        )(d.b),
+        dp,
+    )
+    sspecs = state_specs(state_struct)
+
+    init_fn = jax.jit(
+        jax.shard_map(_init, mesh=mesh, in_specs=(dspecs, P()), out_specs=sspecs)
+    )
+    state = init_fn(dp, L_est)
+
+    def _chunk(dp_loc, L_loc, st):
+        def per_scen(b, s):
+            d = replace(dp_loc, b=b)
+            s = solver.refresh(d, s, L_loc, opts)
+
+            def body(s2, _):
+                s3 = solver.step(d, s2, L_loc, opts)
+                return s3, (s3.f, s3.gap)
+
+            return jax.lax.scan(body, s, None, length=chunk)
+
+        st2, trace = jax.vmap(per_scen)(dp_loc.b, st)
+        return st2, trace
+
+    trace_spec = (P(SCENARIO_AXIS, None), P(SCENARIO_AXIS, None))
+    chunk_fn = jax.jit(
+        jax.shard_map(
+            _chunk, mesh=mesh, in_specs=(dspecs, P(), sspecs),
+            out_specs=(sspecs, trace_spec),
+        )
+    )
+
+    traces_f, traces_g, ctimes, citers = [], [], [], []
+    it = 0
+    converged = False
+    t0 = time.perf_counter()
+    while it < max_iter:
+        state, (tf, tg) = chunk_fn(dp, L_est, state)
+        tf = jax.block_until_ready(tf)
+        t1 = time.perf_counter()
+        ctimes.append(t1 - t0)
+        t0 = t1
+        it += chunk
+        citers.append(it)
+        traces_f.append(np.asarray(tf))  # (S, chunk)
+        traces_g.append(np.asarray(tg))
+        f_last = np.asarray(state.f)
+        gap_last = np.asarray(state.gap)
+        rel = gap_last / np.maximum(1.0, np.abs(f_last))
+        if verbose:
+            print(f"[sharded] iter {it}: f={f_last} relgap={rel}")
+        if np.all(rel <= tol):
+            converged = True
+            break
+
+    # host-side extraction (global arrays gather transparently)
+    from ..ops.projection import proj_blocks
+
+    xp = jax.vmap(lambda p: proj_blocks(p, dp.buckets))(state.xp)
+    x = np.asarray(jax.jit(jax.vmap(lambda p: L.extract_user_flat(dp, p)))(xp))
+    f = np.asarray(state.f)
+    gap = np.asarray(state.gap)
+    if single_rhs:
+        x, f, gap = x[0], f[0], gap[0]
+    return SolveResult(
+        x=x,
+        objective=f,
+        gap=gap,
+        iterations=it,
+        converged=converged,
+        trace_f=np.concatenate(traces_f, axis=1),
+        trace_gap=np.concatenate(traces_g, axis=1),
+        chunk_times=np.asarray(ctimes),
+        chunk_iters=np.asarray(citers),
+    )

@@ -1,0 +1,275 @@
+"""Solver protocol and the host-side solve driver.
+
+Every solver module exposes pure, jit/scan-compatible functions
+
+    init(dp, opts)  -> state        (state is a NamedTuple pytree)
+    step(dp, state, opts) -> state  (one iteration)
+    refresh(dp, state, opts) -> state  (recompute exact residual/objective)
+
+State always carries: xp (padded iterate), r (residual), f (objective),
+gap (Frank-Wolfe duality gap — a true optimality certificate on products of
+simplices: f(x) - f* <= gap), k (iteration counter).
+
+The driver compiles a K-iteration ``lax.scan`` chunk once and loops it from
+the host, reading back the (f, gap) trace each chunk — convergence checks,
+wall-clock trace, checkpointing and metrics all amortise over the chunk
+(SURVEY.md §3e).  Solvers never branch on data on the host inside a chunk.
+
+Iterations use an *incremental residual* (r += t * A d), so PGD/FW cost two
+matvec-equivalents per iteration; ``refresh`` recomputes r exactly at every
+chunk boundary to stop fp drift.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import Problem
+from ..ops import layout as L
+from ..ops import quadratic as Q
+from ..ops.simplex import block_min
+
+__all__ = ["SolveOptions", "SolveResult", "fw_gap", "power_lipschitz", "solve"]
+
+
+@dataclass(frozen=True)
+class SolveOptions:
+    """Static solver options (hashable: becomes part of the jit cache key)."""
+
+    method: str = "pgd"  # pgd | eg | frank_wolfe
+    line_search: str = "exact"  # exact | bb | fixed | pava
+    tol: float = 1e-6  # relative FW-gap tolerance: gap <= tol * max(1, |f|)
+    max_iter: int = 10_000
+    chunk: int = 100  # iterations per compiled scan chunk
+    step_size: float = 0.0  # fixed step (0 -> 1/L from power iteration)
+    space: str = "x"  # x | z  (z-space PGD projects with PAVA)
+
+
+class CommonState(NamedTuple):
+    xp: tuple
+    r: jnp.ndarray
+    f: jnp.ndarray
+    gap: jnp.ndarray
+    k: jnp.ndarray
+
+
+@dataclass
+class SolveResult:
+    x: np.ndarray  # flat solution (N,) or (S, N)
+    objective: float | np.ndarray
+    gap: float | np.ndarray
+    iterations: int
+    converged: bool
+    trace_f: np.ndarray  # (iters,) or (S, iters)
+    trace_gap: np.ndarray
+    chunk_times: np.ndarray  # wall seconds per chunk
+    chunk_iters: np.ndarray  # cumulative iteration count per chunk boundary
+    eq_violation: Optional[float] = None  # ||Cx-d||_inf (equality-constrained)
+
+    def time_to_gap(self, f_star: float, rel: float = 1e-6) -> float | None:
+        """Wall seconds until f <= f* + rel*max(1,|f*|), from the chunk trace."""
+        thresh = f_star + rel * max(1.0, abs(f_star))
+        tf = self.trace_f if self.trace_f.ndim == 1 else self.trace_f.max(axis=0)
+        hits = np.nonzero(tf <= thresh)[0]
+        if hits.size == 0:
+            return None
+        it = hits[0] + 1
+        # linear interpolation of wall time within the chunk trace
+        cum_t = np.concatenate([[0.0], np.cumsum(self.chunk_times)])
+        cum_i = np.concatenate([[0], self.chunk_iters])
+        return float(np.interp(it, cum_i, cum_t))
+
+
+def fw_gap(dp, g_flat: jnp.ndarray, x_flat: jnp.ndarray, gp) -> jnp.ndarray:
+    """Frank-Wolfe duality gap g.(x - s) on the product of (radius-scaled)
+    simplices; psums over the block axis when sharded."""
+    total_min = jnp.asarray(0.0, g_flat.dtype)
+    for g, bk in zip(gp, dp.buckets):
+        bm = block_min(g, bk.mask)
+        valid = jnp.any(bk.mask > 0, axis=-1)
+        total_min = total_min + jnp.sum(jnp.where(valid, bk.radius * bm, 0.0))
+    gx = jnp.vdot(g_flat, x_flat).real
+    return L.psum_if_sharded(dp, gx - total_min)
+
+
+def power_lipschitz(dp: L.DeviceProblem, iters: int = 30, seed: int = 0) -> jnp.ndarray:
+    """||A||_2^2 estimate by power iteration on A^T A (device-side, jittable,
+    collective-aware under a sharded mesh)."""
+    key = jax.random.PRNGKey(seed)
+    if dp.reduce_axis:
+        # per-shard slice of the global random vector (also marks the value
+        # as varying over the block axis for shard_map's VMA tracking)
+        key = jax.random.fold_in(key, jax.lax.axis_index(dp.reduce_axis))
+    v = jax.random.normal(key, (dp.n_pf,), dtype=dp.b.dtype)
+    v = v / jnp.sqrt(jnp.maximum(L.pvdot(dp, v, v), 1e-30))
+
+    def body(_, carry):
+        v, lam = carry
+        w = L.rmatvec(dp.A, L.matvec_ps(dp, v))
+        lam = jnp.sqrt(jnp.maximum(L.pvdot(dp, w, w), 1e-30))
+        return w / lam, lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, dp.b.dtype)))
+    return lam * 1.05
+
+
+def _get_solver(method: str):
+    from . import apgd, frank_wolfe, mirror_descent, pgd
+
+    table = {
+        "pgd": pgd,
+        "apgd": apgd,
+        "fista": apgd,
+        "eg": mirror_descent,
+        "mirror_descent": mirror_descent,
+        "frank_wolfe": frank_wolfe,
+        "fw": frank_wolfe,
+    }
+    if method not in table:
+        raise KeyError(f"unknown method {method!r}; options: {sorted(table)}")
+    return table[method]
+
+
+@partial(jax.jit, static_argnames=("opts", "solver_name", "steps"))
+def _run_chunk(dp, state, L_est, opts: SolveOptions, solver_name: str, steps: int):
+    solver = _get_solver(solver_name)
+    state = solver.refresh(dp, state, L_est, opts)
+
+    def body(st, _):
+        st2 = solver.step(dp, st, L_est, opts)
+        return st2, (st2.f, st2.gap)
+
+    state, trace = jax.lax.scan(body, state, None, length=steps)
+    return state, trace
+
+
+def solve(
+    problem: Problem | L.DeviceProblem,
+    method: str = "pgd",
+    tol: float = 1e-6,
+    max_iter: int = 10_000,
+    chunk: int = 100,
+    line_search: str = "exact",
+    step_size: float = 0.0,
+    space: str = "x",
+    dtype=jnp.float32,
+    callback: Optional[Callable[[int, Any], None]] = None,
+    mesh=None,
+    verbose: bool = False,
+    x0: Optional[np.ndarray] = None,
+) -> SolveResult:
+    """Solve a block-simplex LSQ instance (single-process entry point).
+
+    Multi-RHS problems (b of shape (S, m)) are vmapped over scenarios.
+    For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
+    """
+    if mesh is not None:
+        from ..parallel.sharding import solve_sharded
+
+        return solve_sharded(
+            problem, mesh, method=method, tol=tol, max_iter=max_iter,
+            chunk=chunk, line_search=line_search, step_size=step_size, dtype=dtype,
+        )
+    if isinstance(problem, Problem):
+        if problem.C is not None:
+            from .eq_constrained import solve_equality_constrained
+
+            return solve_equality_constrained(
+                problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
+                line_search=line_search, step_size=step_size, dtype=dtype,
+            )
+        dp = L.prepare(problem, dtype=dtype)
+    else:
+        dp = problem
+
+    opts = SolveOptions(
+        method=method, line_search=line_search, tol=tol,
+        max_iter=max_iter, chunk=chunk, step_size=step_size, space=space,
+    )
+    solver = _get_solver(method)
+    multi = dp.b.ndim == 2
+
+    L_est = power_lipschitz(dp if not multi else replace(dp, b=dp.b[0]))
+
+    if x0 is not None:
+        x0j = jnp.asarray(x0, dtype)
+        if multi:
+            xp0 = jax.vmap(lambda xx: L.inject_user_flat(dp, xx))(x0j)
+        else:
+            xp0 = L.inject_user_flat(dp, x0j)
+    else:
+        xp0 = None
+
+    if multi:
+        if xp0 is None:
+            state = jax.vmap(lambda b: solver.init(replace(dp, b=b), L_est, opts))(dp.b)
+        else:
+            state = jax.vmap(
+                lambda b, xx: solver.init(replace(dp, b=b), L_est, opts, xp0=xx)
+            )(dp.b, xp0)
+        chunk_fn = jax.vmap(
+            lambda b, st: _run_chunk(replace(dp, b=b), st, L_est, opts, method, chunk),
+            in_axes=(0, 0),
+        )
+        run = lambda st: chunk_fn(dp.b, st)
+    else:
+        state = solver.init(dp, L_est, opts, xp0=xp0)
+        run = lambda st: _run_chunk(dp, st, L_est, opts, method, chunk)
+
+    traces_f, traces_g, ctimes, citers = [], [], [], []
+    it = 0
+    converged = False
+    # warm-up compile outside the timed region
+    t0 = time.perf_counter()
+    while it < max_iter:
+        state, (tf, tg) = run(state)
+        tf = jax.block_until_ready(tf)
+        t1 = time.perf_counter()
+        ctimes.append(t1 - t0)
+        t0 = t1
+        it += chunk
+        citers.append(it)
+        traces_f.append(np.asarray(tf))
+        traces_g.append(np.asarray(tg))
+        f_last = np.asarray(state.f)
+        gap_last = np.asarray(state.gap)
+        rel = gap_last / np.maximum(1.0, np.abs(f_last))
+        if callback is not None:
+            callback(it, state)
+        if verbose:
+            print(f"iter {it}: f={f_last} relgap={rel}")
+        if np.all(rel <= tol):
+            converged = True
+            break
+
+    axis = 1 if multi else 0
+    trace_f = np.concatenate(traces_f, axis=axis)
+    trace_gap = np.concatenate(traces_g, axis=axis)
+    # one final exact projection: guarantees bit-level feasibility of the
+    # returned x regardless of method (the z-space path can leave O(eps)
+    # negative entries after the z->x difference map)
+    from ..ops.projection import proj_blocks
+
+    if multi:
+        xp = jax.vmap(lambda p: proj_blocks(p, dp.buckets))(state.xp)
+        x = np.asarray(jax.vmap(lambda p: L.extract_user_flat(dp, p))(xp))
+    else:
+        xp = proj_blocks(state.xp, dp.buckets)
+        x = np.asarray(L.extract_user_flat(dp, xp))
+    return SolveResult(
+        x=x,
+        objective=np.asarray(state.f),
+        gap=np.asarray(state.gap),
+        iterations=it,
+        converged=converged,
+        trace_f=trace_f,
+        trace_gap=trace_gap,
+        chunk_times=np.asarray(ctimes),
+        chunk_iters=np.asarray(citers),
+    )

@@ -1,0 +1,113 @@
+"""Projected gradient solver (x-space sort-projection or z-space PAVA).
+
+Line-search modes (SURVEY.md §2 #6-9):
+  exact  — candidate x^ = proj(x - t0 g), then closed-form quadratic step
+           along d = x^ - x (monotone descent, 2 matvecs/iter)
+  pava   — same but in z-space: candidate z^ = iso_[0,1](z - t0 D^T g) via
+           the PAVA kernel; direction mapped back linearly (the reference's
+           "PAVA-based line search", BASELINE.json:11)
+  bb     — Barzilai-Borwein step, projected (non-monotone, cheapest)
+  fixed  — constant step (opts.step_size or 1/L)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import isotonic, layout as L, projection, quadratic as Q, ztransform as Z
+from .base import SolveOptions, fw_gap
+
+__all__ = ["PGDState", "init", "step", "refresh"]
+
+
+class PGDState(NamedTuple):
+    xp: tuple
+    r: jnp.ndarray
+    f: jnp.ndarray
+    gap: jnp.ndarray
+    k: jnp.ndarray
+    x_prev: jnp.ndarray  # flat, for BB
+    g_prev: jnp.ndarray  # flat, for BB
+
+
+def _dz_forward(dzp, buckets):
+    """Linear part of z->x per bucket: (D dz)_j = dz_j - dz_{j-1}, last valid
+    slot gets -dz_{n-2} (since x_n = 1 - z_{n-1})."""
+    out = []
+    for dz, bk in zip(dzp, buckets):
+        zm = Z.zmask(bk.mask)
+        dzc = jnp.where(zm > 0, dz, 0.0)
+        prev = jnp.concatenate([jnp.zeros_like(dzc[..., :1]), dzc[..., :-1]], axis=-1)
+        # for valid z slots the x-delta is dz_j - dz_{j-1}; the last valid x
+        # slot (no z of its own) gets -dz_{n-2} == -prev there
+        dx = jnp.where(zm > 0, dzc - prev, -prev)
+        out.append(jnp.where(bk.mask > 0, dx, 0.0))
+    return tuple(out)
+
+
+def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> PGDState:
+    xp = xp0 if xp0 is not None else L.feasible_init(dp)
+    x_flat = L.padded_to_flat(dp, xp)
+    r = Q.residual(dp, x_flat)
+    f = Q.objective_from_residual(r)
+    return PGDState(
+        xp=xp, r=r, f=f,
+        gap=jnp.asarray(jnp.inf, f.dtype),
+        k=jnp.asarray(0, jnp.int32),
+        x_prev=x_flat,
+        g_prev=jnp.zeros_like(x_flat),
+    )
+
+
+def refresh(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
+    x_flat = L.padded_to_flat(dp, st.xp)
+    r = Q.residual(dp, x_flat)
+    return st._replace(r=r, f=Q.objective_from_residual(r))
+
+
+def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
+    x_flat = L.padded_to_flat(dp, st.xp)
+    g_flat = Q.grad_flat(dp, st.r)
+    gp = L.flat_to_padded(dp, g_flat)
+    gap = fw_gap(dp, g_flat, x_flat, gp)
+
+    if opts.step_size > 0:
+        t0 = jnp.asarray(opts.step_size, x_flat.dtype)
+    else:
+        t0 = jnp.asarray(1.0, x_flat.dtype) / L_est
+    if opts.line_search == "bb":
+        dx = x_flat - st.x_prev
+        dg = g_flat - st.g_prev
+        t_bb = Q.bb_step(L.pvdot(dp, dx, dx), L.pvdot(dp, dx, dg), fallback=t0)
+        t0 = jnp.where(st.k > 0, t_bb, t0)
+
+    if opts.line_search == "pava" or opts.space == "z":
+        zp = tuple(Z.x_to_z_padded(x, bk.mask) for x, bk in zip(st.xp, dp.buckets))
+        gzp = tuple(Z.dz_adjoint_padded(g, bk.mask) for g, bk in zip(gp, dp.buckets))
+        zhat = tuple(
+            isotonic.pava_padded(z - t0 * gz, Z.zmask(bk.mask), 0.0, bk.radius)
+            for z, gz, bk in zip(zp, gzp, dp.buckets)
+        )
+        dzp = tuple(zh - z for zh, z in zip(zhat, zp))
+        dxp = _dz_forward(dzp, dp.buckets)
+    else:
+        cand = tuple(x - t0 * g for x, g in zip(st.xp, gp))
+        xhat = projection.proj_blocks(cand, dp.buckets)
+        dxp = tuple(xh - x for xh, x in zip(xhat, st.xp))
+
+    d_flat = L.padded_to_flat(dp, dxp)
+    Ad = L.matvec_ps(dp, d_flat)
+    if opts.line_search in ("exact", "pava"):
+        t = Q.exact_step(L.pvdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
+    else:
+        t = jnp.asarray(1.0, x_flat.dtype)
+
+    xp_new = tuple(x + t * d for x, d in zip(st.xp, dxp))
+    r_new = st.r + t * Ad
+    f_new = Q.objective_from_residual(r_new)
+    return PGDState(
+        xp=xp_new, r=r_new, f=f_new, gap=gap, k=st.k + 1,
+        x_prev=x_flat, g_prev=g_flat,
+    )

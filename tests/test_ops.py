@@ -15,6 +15,7 @@ from bsls_tpu.ops import (
     proj_simplex_padded,
     rmatvec,
 )
+from bsls_tpu.ops.layout import extract_user_flat as L_extract
 from bsls_tpu.ops.simplex import block_min, eg_update_padded, fw_vertex_padded
 from bsls_tpu.ops.ztransform import dz_adjoint_padded, x_to_z_padded, z_to_x_padded, zmask
 from bsls_tpu.utils.refimpl import pava_np, proj_simplex_np
@@ -30,54 +31,80 @@ def _ragged_partition(n_blocks=37, lo=1, hi=20, block_multiple=4):
 # ---------------- layout ----------------
 
 
-def test_layout_roundtrip_ragged():
+def _dense_problem(part, m=5):
+    from bsls_tpu.models.problem import DenseMatrix, Problem
+
+    A = DenseMatrix(RNG.standard_normal((m, part.n_flat)))
+    return Problem(A=A, b=np.zeros(m), partition=part)
+
+
+def test_layout_pf_roundtrip_ragged():
     part = _ragged_partition()
-    prob = synthetic.tiny_dense(num_blocks=4, dim=3, m=10)  # dummy A; replace partition
-    x = RNG.standard_normal(part.n_flat).astype(np.float32)
-    from bsls_tpu.models.problem import DenseMatrix, Problem
-
-    A = DenseMatrix(RNG.standard_normal((5, part.n_flat)))
-    p = Problem(A=A, b=np.zeros(5), partition=part)
-    dp = prepare(p)
-    xp = flat_to_padded(dp, jnp.asarray(x))
-    back = padded_to_flat(dp, xp)
-    np.testing.assert_allclose(np.asarray(back), x, rtol=1e-6)
+    dp = prepare(_dense_problem(part), equilibrate=False)
+    xp0 = feasible_init(dp)
+    x_pf = padded_to_flat(dp, xp0)
+    assert x_pf.shape == (part.padded_size,)
+    xp1 = flat_to_padded(dp, x_pf)
+    for a, b in zip(xp0, xp1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
-def test_layout_contiguous_fast_path():
-    part = BlockPartition.uniform(16, 8)
-    from bsls_tpu.models.problem import DenseMatrix, Problem
+def test_extract_user_flat_matches_partition():
+    part = _ragged_partition()
+    dp = prepare(_dense_problem(part), equilibrate=False)
+    # random feasible-ish padded value
+    xp = tuple(
+        jnp.asarray(RNG.standard_normal(bk.mask.shape).astype(np.float32)) * bk.mask
+        for bk in dp.buckets
+    )
+    got = np.asarray(L_extract(dp, xp))
+    want = part.padded_to_flat_np([np.asarray(x) for x in xp])
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
-    p = Problem(A=DenseMatrix(RNG.standard_normal((4, 128))), b=np.zeros(4), partition=part)
-    dp = prepare(p)
-    assert all(bk.contiguous for bk in dp.buckets)
-    x = jnp.arange(128.0)
-    xp = flat_to_padded(dp, x)
-    assert xp[0].shape == (16, 8)
-    np.testing.assert_allclose(np.asarray(padded_to_flat(dp, xp)), np.asarray(x))
 
-
-def test_matvec_matches_host():
+def test_matvec_matches_host_pf():
     prob = synthetic.medium_sparse(num_blocks=40, m=200)
-    dp = prepare(prob, dtype=jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32)
-    x = RNG.standard_normal(prob.partition.n_flat)
-    got = np.asarray(matvec(dp.A, jnp.asarray(x, dtype=dp.b.dtype)))
-    want = prob.A.matvec(x)
+    dp = prepare(prob, equilibrate=False)
+    perm = np.asarray(dp.perm)
+    sel = perm >= 0
+    x_user = RNG.standard_normal(prob.partition.n_flat)
+    x_pf = np.zeros(perm.size, np.float32)
+    x_pf[sel] = x_user[perm[sel]]
+    got = np.asarray(matvec(dp.A, jnp.asarray(x_pf)))
+    want = prob.A.matvec(x_user)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())
     r = RNG.standard_normal(200)
-    got2 = np.asarray(rmatvec(dp.A, jnp.asarray(r, dtype=dp.b.dtype)))
+    got2 = np.asarray(rmatvec(dp.A, jnp.asarray(r, dtype=jnp.float32)))
     want2 = prob.A.rmatvec(r)
-    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4 * np.abs(want2).max())
+    np.testing.assert_allclose(got2[sel], want2[perm[sel]], rtol=1e-4,
+                               atol=1e-4 * np.abs(want2).max())
+    # padding columns contribute nothing
+    np.testing.assert_allclose(got2[~sel], 0.0)
+
+
+def test_equilibrated_matvec_equivalence():
+    """matvec on the equilibrated system at u = c*x equals A x."""
+    prob = synthetic.medium_sparse(num_blocks=30, m=150)
+    from bsls_tpu.ops.layout import block_scales
+
+    dp = prepare(prob, equilibrate=True)
+    c = block_scales(prob)
+    col_scale = np.repeat(c, prob.partition.sizes)
+    perm = np.asarray(dp.perm)
+    sel = perm >= 0
+    x_user = RNG.standard_normal(prob.partition.n_flat)
+    u_pf = np.zeros(perm.size, np.float32)
+    u_pf[sel] = (x_user * col_scale)[perm[sel]]
+    got = np.asarray(matvec(dp.A, jnp.asarray(u_pf)))
+    want = prob.A.matvec(x_user)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * np.abs(want).max())
 
 
 def test_feasible_init():
     part = _ragged_partition()
-    from bsls_tpu.models.problem import DenseMatrix, Problem
-
-    p = Problem(A=DenseMatrix(np.zeros((3, part.n_flat))), b=np.zeros(3), partition=part)
-    dp = prepare(p)
+    dp = prepare(_dense_problem(part), equilibrate=False)
     x0 = feasible_init(dp)
-    flat = np.asarray(padded_to_flat(dp, x0))
+    flat = np.asarray(L_extract(dp, x0))
     off = 0
     for n in part.sizes:
         np.testing.assert_allclose(flat[off : off + n].sum(), 1.0, rtol=1e-6)

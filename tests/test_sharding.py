@@ -1,0 +1,88 @@
+"""Distributed tests on the simulated 8-device CPU mesh (SURVEY.md §4b).
+
+Asserts the sharded solve is numerically equivalent (fp tolerance) to the
+single-device solve, exercising both mesh axes and the psum residual path.
+"""
+import jax
+import numpy as np
+import pytest
+
+import bsls_tpu as bsls
+from bsls_tpu.models import synthetic
+from bsls_tpu.parallel import make_mesh, shard_problem, solve_sharded
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    return jax.devices()[:8]
+
+
+def _uniform_prob(num_blocks=64, dim=8, m=256, S=None, seed=0):
+    if S:
+        return synthetic.large_sharded(
+            seed=seed, num_blocks=num_blocks, dim=dim, m=m, num_scenarios=S,
+            block_multiple=8, noise=1e-3,
+        )
+    p = synthetic.large_sharded(
+        seed=seed, num_blocks=num_blocks, dim=dim, m=m, num_scenarios=1,
+        block_multiple=8, noise=1e-3,
+    )
+    return bsls.Problem(A=p.A, b=p.b[0], partition=p.partition, name="single")
+
+
+def test_shard_problem_layout(eight_devices):
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = _uniform_prob(S=2)
+    dp, part = shard_problem(prob, mesh)
+    assert dp.reduce_axis == "block"
+    # bucket rows divisible by block axis
+    for bk in dp.buckets:
+        assert bk.mask.shape[0] % 4 == 0
+    # sharding really applied
+    s = dp.buckets[0].mask.sharding
+    assert s.spec[0] == "block"
+
+
+# EG/FW converge sublinearly and their fixed step uses the power-iteration
+# L estimate, whose random start vector necessarily differs between the
+# sharded and single-device paths — mid-trajectory objectives can differ at
+# the ~1% level while both converge to the same optimum.  PGD/APGD use the
+# exact line search and must agree tightly.
+@pytest.mark.parametrize(
+    "method,rtol", [("pgd", 5e-4), ("apgd", 5e-4), ("eg", 2e-2), ("frank_wolfe", 2e-2)]
+)
+def test_sharded_matches_single_device(eight_devices, method, rtol):
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = _uniform_prob()
+    res1 = bsls.solve(prob, method=method, tol=1e-7, max_iter=600, chunk=100)
+    res8 = solve_sharded(prob, mesh, method=method, tol=1e-7, max_iter=600, chunk=100)
+    f1 = float(np.asarray(res1.objective))
+    f8 = float(np.asarray(res8.objective))
+    np.testing.assert_allclose(f8, f1, rtol=rtol, atol=1e-5)
+    if method in ("pgd", "apgd"):
+        np.testing.assert_allclose(res8.x, res1.x, atol=5e-4)
+
+
+def test_sharded_both_axes_multi_rhs(eight_devices):
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = _uniform_prob(S=4)
+    res = solve_sharded(prob, mesh, method="apgd", tol=1e-7, max_iter=800, chunk=100)
+    assert res.x.shape == (4, prob.partition.n_flat)
+    # matches unsharded vmapped solve per scenario
+    res0 = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=800, chunk=100)
+    np.testing.assert_allclose(
+        np.asarray(res.objective), np.asarray(res0.objective), rtol=5e-4, atol=1e-5
+    )
+
+
+def test_sharded_ragged_blocks(eight_devices):
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = synthetic.traffic_like(num_blocks=64, m=200, num_eq=0, noise=1e-3)
+    prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition)
+    res1 = bsls.solve(prob, method="pgd", tol=1e-7, max_iter=400, chunk=100)
+    res8 = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=400, chunk=100)
+    np.testing.assert_allclose(
+        float(np.asarray(res8.objective)), float(np.asarray(res1.objective)), rtol=1e-3
+    )
