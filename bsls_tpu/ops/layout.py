@@ -65,14 +65,31 @@ _register(DeviceDense, ["data"], [])
 
 @dataclass(frozen=True)
 class DeviceEll:
-    """Column-oriented ELL sparse matrix on device (see models.problem.EllMatrix)."""
+    """Dual-ELL sparse matrix on device: gathers only, no scatters.
 
-    rows: jnp.ndarray  # (n_pf, k) int32
+    Column-oriented arrays (rows/vals, from models.problem.EllMatrix) drive
+    A^T r as a gather; a row-oriented copy (mv_cols/mv_vals, built at
+    prepare time per block-shard with *local* PF column indices) drives
+    A @ x as a gather.  TPU scatters serialize badly, so the hot loop never
+    scatters — this is the sparse-matvec design decision of SURVEY.md §7
+    hard part 2.
+
+    mv_cols/mv_vals have shape (n_shards, m, kr); under shard_map each
+    device sees its (1, m, kr) slice and computes its partial A_s @ x_s.
+    When a pathological row makes kr blow past ROW_ELL_MAX_K, the row-ELL
+    copy is dropped (None) and matvec falls back to segment_sum.
+    """
+
+    rows: jnp.ndarray  # (n_pf, k) int32  — column-oriented (for A^T r)
     vals: jnp.ndarray  # (n_pf, k)
+    mv_cols: Optional[jnp.ndarray]  # (n_shards, m, kr) int32 local PF cols
+    mv_vals: Optional[jnp.ndarray]  # (n_shards, m, kr)
     num_rows: int  # static
 
 
-_register(DeviceEll, ["rows", "vals"], ["num_rows"])
+_register(DeviceEll, ["rows", "vals", "mv_cols", "mv_vals"], ["num_rows"])
+
+ROW_ELL_MAX_K = 512
 
 
 @dataclass(frozen=True)
@@ -147,7 +164,47 @@ def build_pf_perm(part: BlockPartition, n_shards: int = 1) -> np.ndarray:
     return perm
 
 
-def to_device_matrix(M, perm: np.ndarray, dtype=jnp.float32, col_scale=None) -> "DeviceMatrix":
+def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
+    """Build the row-oriented (gather) ELL copy from PF column-oriented data.
+
+    rows_pf/vals_pf: (n_pf, k) with zeros on padding.  Returns
+    (mv_cols, mv_vals) of shape (n_shards, m, kr) with *local* PF column
+    indices, or (None, None) if kr would exceed ROW_ELL_MAX_K.
+    """
+    n_pf, k = rows_pf.shape
+    n_loc = n_pf // n_shards
+    nz = vals_pf != 0
+    if not nz.any():
+        return (
+            np.zeros((n_shards, num_rows, 1), np.int32),
+            np.zeros((n_shards, num_rows, 1), np.float32),
+        )
+    pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz]
+    r = rows_pf[nz].astype(np.int64)
+    v = vals_pf[nz]
+    shard = pf_pos // n_loc
+    local = (pf_pos % n_loc).astype(np.int32)
+    key = shard.astype(np.int64) * num_rows + r
+    order = np.argsort(key, kind="stable")
+    key_s, local_s, v_s = key[order], local[order], v[order]
+    # position of each nonzero within its (shard, row) group
+    group_start = np.searchsorted(key_s, key_s)  # first occurrence index
+    pos = np.arange(key_s.size) - group_start
+    kr = int(pos.max()) + 1
+    if kr > ROW_ELL_MAX_K:
+        return None, None
+    mv_cols = np.zeros((n_shards, num_rows, kr), np.int32)
+    mv_vals = np.zeros((n_shards, num_rows, kr), np.float32)
+    sh = (key_s // num_rows).astype(np.int32)
+    rw = (key_s % num_rows).astype(np.int32)
+    mv_cols[sh, rw, pos] = local_s
+    mv_vals[sh, rw, pos] = v_s
+    return mv_cols, mv_vals
+
+
+def to_device_matrix(
+    M, perm: np.ndarray, dtype=jnp.float32, col_scale=None, n_shards: int = 1
+) -> "DeviceMatrix":
     """Move a host matrix to device with PF column permutation/padding.
 
     ``col_scale`` (N,) divides each user column (block equilibration)."""
@@ -164,8 +221,13 @@ def to_device_matrix(M, perm: np.ndarray, dtype=jnp.float32, col_scale=None) -> 
         rows[sel] = np.asarray(M.rows)[perm[sel]]
         v = np.asarray(M.vals)[perm[sel]]
         vals[sel] = v if cs is None else v / cs[:, None]
+        mv_cols, mv_vals = _build_row_ell(rows, vals, M.num_rows, n_shards)
         return DeviceEll(
-            rows=jnp.asarray(rows), vals=jnp.asarray(vals, dtype=dtype), num_rows=M.num_rows
+            rows=jnp.asarray(rows),
+            vals=jnp.asarray(vals, dtype=dtype),
+            mv_cols=None if mv_cols is None else jnp.asarray(mv_cols),
+            mv_vals=None if mv_vals is None else jnp.asarray(mv_vals, dtype=dtype),
+            num_rows=M.num_rows,
         )
     if isinstance(M, VStackMatrix):
         scale = 1.0
@@ -173,8 +235,8 @@ def to_device_matrix(M, perm: np.ndarray, dtype=jnp.float32, col_scale=None) -> 
         if isinstance(bottom, ScaledMatrix):
             scale, bottom = bottom.scale, bottom.inner
         return DeviceVStack(
-            top=to_device_matrix(M.top, perm, dtype, col_scale),
-            bottom=to_device_matrix(bottom, perm, dtype, col_scale),
+            top=to_device_matrix(M.top, perm, dtype, col_scale, n_shards),
+            bottom=to_device_matrix(bottom, perm, dtype, col_scale, n_shards),
             bottom_scale=jnp.asarray(scale, dtype),
             split=M.top.shape[0],
         )
@@ -245,7 +307,7 @@ def prepare(
         for b in part.buckets
     )
     return DeviceProblem(
-        A=to_device_matrix(problem.A, perm, dtype, col_scale),
+        A=to_device_matrix(problem.A, perm, dtype, col_scale, n_shards),
         b=jnp.asarray(problem.b, dtype=dtype),
         buckets=buckets,
         perm=jnp.asarray(perm),
@@ -312,6 +374,17 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         return A.data @ x
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
+    if A.mv_cols is not None:
+        # gather path: per-shard (m, kr) local-PF gathers, summed on the VPU.
+        # Inside shard_map the leading dim is 1 (one local shard); on a
+        # global view it is n_shards and the partials sum with local->global
+        # column offsets.
+        ns, m, kr = A.mv_cols.shape
+        if ns == 1:
+            return jnp.sum(A.mv_vals[0] * x[A.mv_cols[0]], axis=-1)
+        n_loc = x.shape[-1] // ns
+        offs = (jnp.arange(ns) * n_loc)[:, None, None]
+        return jnp.sum(A.mv_vals * x[A.mv_cols + offs], axis=(0, -1))
     contrib = A.vals * x[:, None]  # (n, k)
     return jax.ops.segment_sum(
         contrib.reshape(-1), A.rows.reshape(-1), num_segments=A.num_rows

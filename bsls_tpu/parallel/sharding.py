@@ -38,6 +38,8 @@ _LEAF_SPECS = {
     "data": P(None, BLOCK_AXIS),  # dense A columns
     "rows": P(BLOCK_AXIS, None),  # ELL (column-oriented)
     "vals": P(BLOCK_AXIS, None),
+    "mv_cols": P(BLOCK_AXIS, None, None),  # row-ELL per shard (local indices)
+    "mv_vals": P(BLOCK_AXIS, None, None),
     "bottom_scale": P(),
     "mask": P(BLOCK_AXIS, None),
     "sizes": P(BLOCK_AXIS),

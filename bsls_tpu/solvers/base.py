@@ -163,6 +163,10 @@ def solve(
     mesh=None,
     verbose: bool = False,
     x0: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    metrics=None,
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
@@ -222,9 +226,18 @@ def solve(
         state = solver.init(dp, L_est, opts, xp0=xp0)
         run = lambda st: _run_chunk(dp, st, L_est, opts, method, chunk)
 
-    traces_f, traces_g, ctimes, citers = [], [], [], []
     it = 0
+    if resume and checkpoint_path:
+        from ..utils.checkpoint import latest_checkpoint, load_state
+
+        ck = latest_checkpoint(checkpoint_path)
+        if ck:
+            state, meta = load_state(ck, state)
+            it = int(meta.get("iteration", 0))
+
+    traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
+    chunks_done = 0
     # warm-up compile outside the timed region
     t0 = time.perf_counter()
     while it < max_iter:
@@ -234,12 +247,22 @@ def solve(
         ctimes.append(t1 - t0)
         t0 = t1
         it += chunk
+        chunks_done += 1
         citers.append(it)
         traces_f.append(np.asarray(tf))
         traces_g.append(np.asarray(tg))
         f_last = np.asarray(state.f)
         gap_last = np.asarray(state.gap)
         rel = gap_last / np.maximum(1.0, np.abs(f_last))
+        if metrics is not None:
+            metrics.log(
+                "chunk", iteration=it, f=f_last.tolist(), relgap=rel.tolist(),
+                secs=ctimes[-1],
+            )
+        if checkpoint_path and checkpoint_every and chunks_done % checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+
+            save_state(checkpoint_path, state, meta={"iteration": it})
         if callback is not None:
             callback(it, state)
         if verbose:
@@ -247,8 +270,15 @@ def solve(
         if np.all(rel <= tol):
             converged = True
             break
+    if checkpoint_path and checkpoint_every:
+        from ..utils.checkpoint import save_state
+
+        save_state(checkpoint_path, state, meta={"iteration": it})
 
     axis = 1 if multi else 0
+    if not traces_f:  # resumed past max_iter: nothing ran this call
+        empty = np.zeros((dp.b.shape[0], 0) if multi else (0,), np.float32)
+        traces_f, traces_g = [empty], [empty]
     trace_f = np.concatenate(traces_f, axis=axis)
     trace_gap = np.concatenate(traces_g, axis=axis)
     # one final exact projection: guarantees bit-level feasibility of the
