@@ -137,6 +137,19 @@ def large_sharded(seed: int = 0, num_blocks: int = 1_000_000, dim: int = 8,
     return Problem(A=A, b=b, partition=part, name="large_sharded", x_true=xs)
 
 
+def with_scenarios(prob: Problem, num_scenarios: int, seed: int = 1,
+                   noise: float = 1e-2) -> Problem:
+    """Expand a single-RHS instance to S scenarios with freshly planted
+    flows (multi-RHS batching axis, BASELINE.json:10)."""
+    rng = np.random.default_rng(seed)
+    sizes = prob.partition.sizes
+    xs = np.stack([random_block_x(rng, sizes) for _ in range(num_scenarios)])
+    b = np.stack([prob.A.matvec(xs[s]) for s in range(num_scenarios)])
+    b += noise * rng.standard_normal(b.shape)
+    return Problem(A=prob.A, b=b, partition=prob.partition,
+                   name=prob.name + f"x{num_scenarios}", x_true=xs)
+
+
 _CONFIGS = {
     "tiny": tiny_dense,
     "medium": medium_sparse,

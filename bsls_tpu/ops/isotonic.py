@@ -96,7 +96,18 @@ def pava_padded(
     return jnp.where(mask > 0, out, 0.0)
 
 
+def pava_bounded(y: jnp.ndarray, widths: jnp.ndarray, radius) -> jnp.ndarray:
+    """[0, radius]-bounded nondecreasing fit of each row's first ``widths``
+    slots; fused Pallas kernel on TPU, XLA minimax elsewhere."""
+    from .pallas import pava_pallas, use_pallas
+
+    if use_pallas():
+        return pava_pallas(y, widths, jnp.broadcast_to(jnp.asarray(radius, y.dtype), widths.shape))
+    mask = (jnp.arange(y.shape[-1]) < widths[:, None]).astype(y.dtype)
+    return pava_padded(y, mask, 0.0, radius)
+
+
 def pava_blocks(yp, buckets):
     """Apply [0, radius]-bounded isotonic regression per bucket (z-space
     projection onto the radius-scaled order simplex)."""
-    return tuple(pava_padded(y, bk.mask, 0.0, bk.radius) for y, bk in zip(yp, buckets))
+    return tuple(pava_bounded(y, bk.sizes, bk.radius) for y, bk in zip(yp, buckets))

@@ -367,6 +367,23 @@ def extract_user_flat(dp: DeviceProblem, xp) -> jnp.ndarray:
 
 # ---------------- matvec ----------------
 
+_PAGE = 128  # gather page width = one lane row
+
+
+def page_gather(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vec[idx] — plain XLA gather.
+
+    Perf notes from on-chip measurement (v5e via axon): a scalar gather
+    costs ~6ns per gathered ROW regardless of row width, so single-RHS
+    sparse matvec is gather-bound (~10ms for 1.6M elements) no matter the
+    layout — a 128-wide "page gather + lane select" variant was tried and
+    reverted (same row count, and under scenario-vmap it materialises a
+    (nnz, S, 128) buffer that OOMs HBM).  The framework's lever is
+    scenario batching: vmapping the solver over S RHS turns this into a
+    width-S row gather, amortising to ~0.2ms/RHS at S=32 (~70x).
+    """
+    return vec[idx]
+
 
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """A @ x for PF flat x (shard-local partial result when sharded)."""
@@ -375,16 +392,15 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
     if A.mv_cols is not None:
-        # gather path: per-shard (m, kr) local-PF gathers, summed on the VPU.
         # Inside shard_map the leading dim is 1 (one local shard); on a
         # global view it is n_shards and the partials sum with local->global
         # column offsets.
         ns, m, kr = A.mv_cols.shape
         if ns == 1:
-            return jnp.sum(A.mv_vals[0] * x[A.mv_cols[0]], axis=-1)
+            return jnp.sum(A.mv_vals[0] * page_gather(x, A.mv_cols[0]), axis=-1)
         n_loc = x.shape[-1] // ns
         offs = (jnp.arange(ns) * n_loc)[:, None, None]
-        return jnp.sum(A.mv_vals * x[A.mv_cols + offs], axis=(0, -1))
+        return jnp.sum(A.mv_vals * page_gather(x, A.mv_cols + offs), axis=(0, -1))
     contrib = A.vals * x[:, None]  # (n, k)
     return jax.ops.segment_sum(
         contrib.reshape(-1), A.rows.reshape(-1), num_segments=A.num_rows
@@ -397,7 +413,7 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         return A.data.T @ r
     if isinstance(A, DeviceVStack):
         return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
-    return jnp.sum(A.vals * r[A.rows], axis=1)
+    return jnp.sum(A.vals * page_gather(r, A.rows), axis=1)
 
 
 def psum_if_sharded(dp: DeviceProblem, v):

@@ -51,7 +51,14 @@ def proj_simplex_padded(v: jnp.ndarray, mask: jnp.ndarray, radius=1.0) -> jnp.nd
 
 def proj_blocks(xp, buckets):
     """Apply the projection to every bucket of a padded pytree (per-bucket
-    radii from equilibration)."""
+    radii from equilibration).  Dispatches to the fused Pallas kernel on
+    TPU, the XLA implementation elsewhere."""
+    from .pallas import proj_simplex_pallas, use_pallas
+
+    if use_pallas():
+        return tuple(
+            proj_simplex_pallas(x, bk.sizes, bk.radius) for x, bk in zip(xp, buckets)
+        )
     return tuple(
         proj_simplex_padded(x, bk.mask, bk.radius) for x, bk in zip(xp, buckets)
     )

@@ -87,7 +87,9 @@ def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
         zp = tuple(Z.x_to_z_padded(x, bk.mask) for x, bk in zip(st.xp, dp.buckets))
         gzp = tuple(Z.dz_adjoint_padded(g, bk.mask) for g, bk in zip(gp, dp.buckets))
         zhat = tuple(
-            isotonic.pava_padded(z - t0 * gz, Z.zmask(bk.mask), 0.0, bk.radius)
+            isotonic.pava_bounded(
+                z - t0 * gz, jnp.maximum(bk.sizes - 1, 0), bk.radius
+            )
             for z, gz, bk in zip(zp, gzp, dp.buckets)
         )
         dzp = tuple(zh - z for zh, z in zip(zhat, zp))
