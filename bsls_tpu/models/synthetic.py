@@ -150,10 +150,17 @@ def with_scenarios(prob: Problem, num_scenarios: int, seed: int = 1,
                    name=prob.name + f"x{num_scenarios}", x_true=xs)
 
 
+def _traffic_net(**kw):
+    from .traffic import grid_traffic
+
+    return grid_traffic(**kw)
+
+
 _CONFIGS = {
     "tiny": tiny_dense,
     "medium": medium_sparse,
-    "traffic": traffic_like,
+    "traffic": _traffic_net,  # grid-network route-flow (config 3)
+    "traffic_random": traffic_like,  # random-incidence variant
     "large": large_sharded,
 }
 

@@ -59,7 +59,7 @@ def _pava_tile_kernel(y_ref, width_ref, radius_ref, out_ref, *, w: int):
 
     runmax0 = jnp.full((TB, w), -_BIG, y.dtype)
     out0 = jnp.zeros((TB, w), y.dtype)
-    _, out = jax.lax.fori_loop(0, w, body, (runmax0, out0), unroll=min(w, 8))
+    _, out = jax.lax.fori_loop(0, w, body, (runmax0, out0), unroll=1)
     out = jnp.clip(out, 0.0, radius)
     out_ref[...] = jnp.where(valid, out, 0.0)
 
