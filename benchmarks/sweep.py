@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Full benchmark sweep (config 5: FW + EG + PG(+PAVA) on a large instance).
+
+    python benchmarks/sweep.py --config medium --scenarios 32 --out sweep.jsonl
+
+Runs every solver family on the chosen instance, records iterations/s,
+final objective, FW gap, and (with --oracle) time-to-1e-6 relative gap.
+Appends one JSON line per (solver, line_search) to --out and prints a
+summary table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SWEEP = [
+    ("pgd", "exact"),
+    ("pgd", "bb"),
+    ("pgd", "pava"),
+    ("apgd", "exact"),
+    ("eg", "exact"),
+    ("frank_wolfe", "exact"),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="medium")
+    p.add_argument("--scenarios", type=int, default=1)
+    p.add_argument("--max-iter", type=int, default=600)
+    p.add_argument("--chunk", type=int, default=100)
+    p.add_argument("--tol", type=float, default=0.0)
+    p.add_argument("--oracle", action="store_true")
+    p.add_argument("--out", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import bsls_tpu as bsls
+    from bsls_tpu.models import Problem, oracle_solve, synthetic
+    from bsls_tpu.models.synthetic import with_scenarios
+
+    prob = (
+        synthetic.make_config(args.config)
+        if args.config in ("tiny", "medium", "traffic", "traffic_random", "large")
+        else Problem.load(args.config)
+    )
+    if prob.C is not None:
+        prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name=prob.name)
+    f_star = None
+    if args.oracle:
+        f_star = oracle_solve(prob, tol_gap=1e-10, max_iter=30000).objective
+    if args.scenarios > 1:
+        prob = with_scenarios(prob, args.scenarios)
+
+    rows = []
+    for method, ls in SWEEP:
+        res = bsls.solve(
+            prob, method=method, line_search=ls, tol=args.tol,
+            max_iter=args.max_iter, chunk=args.chunk,
+        )
+        times = res.chunk_times[1:] if len(res.chunk_times) > 1 else res.chunk_times
+        ips = args.scenarios * args.chunk / float(np.median(times))
+        row = {
+            "config": prob.name,
+            "method": method,
+            "line_search": ls,
+            "scenarios": args.scenarios,
+            "iters": int(res.iterations),
+            "iters_per_sec": round(ips, 2),
+            "objective": float(np.max(np.asarray(res.objective))),
+            "fw_gap": float(np.max(np.asarray(res.gap))),
+            "device": str(jax.devices()[0]),
+        }
+        if f_star is not None:
+            row["rel_gap_vs_oracle"] = (row["objective"] - f_star) / max(1.0, abs(f_star))
+            t6 = res.time_to_gap(f_star, rel=1e-6)
+            row["time_to_1e-6_gap_s"] = None if t6 is None else round(t6, 4)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    # summary
+    print(f"\n{'method':14s} {'ls':6s} {'it/s':>10s} {'objective':>14s} {'gap':>10s}")
+    for r in rows:
+        print(
+            f"{r['method']:14s} {r['line_search']:6s} {r['iters_per_sec']:>10.1f} "
+            f"{r['objective']:>14.6e} {r['fw_gap']:>10.2e}"
+        )
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,15 @@
-from . import refimpl
+from . import checkpoint, config, metrics, profiling, refimpl
+from .config import PRESETS, RunConfig, load_config
+from .metrics import MetricsWriter
 
-__all__ = ["refimpl"]
+__all__ = [
+    "checkpoint",
+    "config",
+    "metrics",
+    "profiling",
+    "refimpl",
+    "PRESETS",
+    "RunConfig",
+    "load_config",
+    "MetricsWriter",
+]
