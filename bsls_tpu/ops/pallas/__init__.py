@@ -15,12 +15,14 @@ __all__ = ["use_pallas", "proj_simplex_pallas", "pava_pallas"]
 
 @lru_cache(maxsize=1)
 def use_pallas() -> bool:
-    # Opt-in (BSLS_PALLAS=1) until the kernels are revalidated on real
-    # hardware: interpret-mode-correct kernels mis-lower via this image's
-    # Mosaic (pltpu.roll wraps across physical 128-lane padding when the
-    # logical width < 128), and remote-compile latency makes on-chip
-    # debugging minutes-per-attempt.  The XLA paths are correct everywhere
-    # and are not the current bottleneck (the sparse-matvec gathers are).
+    # Both kernels are validated on real v5e hardware (2026-08-17) in their
+    # current bisection/loop formulations.  Dispatch stays opt-in
+    # (BSLS_PALLAS=1) because the XLA paths are not the bottleneck on the
+    # benchmark configs (the sparse-matvec gathers are) and the scenario-
+    # vmapped pallas_call path hasn't been perf-qualified yet.  History:
+    # sort-network/tri-matmul/cumsum formulations that pass interpret-mode
+    # tests mis-lower via this image's Mosaic — keep kernels to elementwise
+    # ops, masked lane reductions, and fori_loop(unroll=1).
     if os.environ.get("BSLS_PALLAS", "") != "1":
         return False
     try:

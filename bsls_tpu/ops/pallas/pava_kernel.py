@@ -29,6 +29,11 @@ _BIG = 3.0e38
 
 
 def _pava_tile_kernel(y_ref, width_ref, radius_ref, out_ref, *, w: int):
+    # Uses only constructs validated on this image's Mosaic (same shapes and
+    # patterns as the on-chip-verified projection kernel): elementwise ops,
+    # masked lane reductions, and fori_loop with unroll=1.  No matmul (tiny
+    # (w,w) dot_generals mis-lower), no cumsum (unimplemented primitive),
+    # no roll (wraps across physical lane padding).
     y = y_ref[...]  # (TB, w)
     width = width_ref[...]  # (TB, 1) int32
     radius = radius_ref[...]  # (TB, 1) f32
@@ -36,13 +41,13 @@ def _pava_tile_kernel(y_ref, width_ref, radius_ref, out_ref, *, w: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, w), 1)
     valid = lane < width
     y0 = jnp.where(valid, y, 0.0)
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    ).astype(y.dtype)
-    css = jax.lax.dot_general(  # inclusive prefix sums
-        y0, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+
+    # inclusive prefix sums css[:, k] = sum_{t<=k} y0[:, t], via a w-step loop
+    def pbody(i, css):
+        E = jnp.sum(jnp.where(lane == i, y0, 0.0), axis=1, keepdims=True)
+        return css + jnp.where(lane >= i, E, 0.0)
+
+    css = jax.lax.fori_loop(0, w, pbody, jnp.zeros((TB, w), y.dtype), unroll=1)
 
     def body(i, carry):
         runmax, out = carry

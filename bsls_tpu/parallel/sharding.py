@@ -130,13 +130,23 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
 # ---------------- sharded driver ----------------
 
 
-def _vmapped(fn, dp):
-    """vmap a (dp, state)->state solver fn over the local scenario axis of b."""
+def extract_sharded(dp, part, xp) -> np.ndarray:
+    """Host-side extraction for the sharded path: (S, N) user-flat solution.
 
-    def inner(dp_loc, *args):
-        return jax.vmap(lambda b, *a: fn(replace(dp_loc, b=b), *a))(dp_loc.b, *args)
-
-    return inner
+    Uses the partition's own bucket->flat maps (bucket row order is
+    unchanged by sharding), NOT dp.perm — the PF perm is device-major while
+    a bucket-wise concat is bucket-major, so perm-based extraction would
+    scramble multi-bucket (ragged) problems.
+    """
+    xs = [np.asarray(x) for x in xp]  # each (S, Bk, w)
+    S = xs[0].shape[0]
+    out = np.zeros((S, part.n_flat), xs[0].dtype)
+    for b, bk, x in zip(part.buckets, dp.buckets, xs):
+        radius = np.asarray(bk.radius)  # (Bk,)
+        m = b.mask.astype(bool)
+        vals = x / np.maximum(radius, 1e-30)[None, :, None]
+        out[:, b.pad_to_flat[m]] = vals[:, m]
+    return out
 
 
 def solve_sharded(
@@ -241,7 +251,7 @@ def solve_sharded(
     from ..ops.projection import proj_blocks
 
     xp = jax.vmap(lambda p: proj_blocks(p, dp.buckets))(state.xp)
-    x = np.asarray(jax.jit(jax.vmap(lambda p: L.extract_user_flat(dp, p)))(xp))
+    x = extract_sharded(dp, part, xp)
     f = np.asarray(state.f)
     gap = np.asarray(state.gap)
     if single_rhs:

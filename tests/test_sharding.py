@@ -86,3 +86,8 @@ def test_sharded_ragged_blocks(eight_devices):
     np.testing.assert_allclose(
         float(np.asarray(res8.objective)), float(np.asarray(res1.objective)), rtol=1e-3
     )
+    # multi-bucket extraction must return the same solution in user order
+    # (catches device-major vs bucket-major ordering bugs)
+    np.testing.assert_allclose(res8.x, res1.x, atol=2e-3)
+    f_from_x = prob.objective_np(np.asarray(res8.x, np.float64))
+    np.testing.assert_allclose(f_from_x, float(np.asarray(res8.objective)), rtol=1e-3)
