@@ -45,6 +45,8 @@ def build_parser():
         "--platform", default=None,
         help="cpu | cpu8 (8 virtual devices) | tpu/axon (default: ambient)",
     )
+    p.add_argument("--debug", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
     return p
 
 
@@ -62,6 +64,8 @@ def main(argv=None):
 
     if args.platform in ("cpu", "cpu8"):
         jax.config.update("jax_platforms", "cpu")
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
 
     import bsls_tpu as bsls
     from bsls_tpu.models import Problem, oracle_solve, synthetic

@@ -160,6 +160,10 @@ def solve_sharded(
     step_size: float = 0.0,
     dtype=jnp.float32,
     verbose: bool = False,
+    metrics=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis."""
@@ -224,9 +228,18 @@ def solve_sharded(
         )
     )
 
-    traces_f, traces_g, ctimes, citers = [], [], [], []
     it = 0
+    if resume and checkpoint_path:
+        from ..utils.checkpoint import latest_checkpoint, load_state
+
+        ck = latest_checkpoint(checkpoint_path)
+        if ck:
+            state, meta = load_state(ck, state)
+            it = int(meta.get("iteration", 0))
+
+    traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
+    chunks_done = 0
     t0 = time.perf_counter()
     while it < max_iter:
         state, (tf, tg) = chunk_fn(dp, L_est, state)
@@ -235,23 +248,38 @@ def solve_sharded(
         ctimes.append(t1 - t0)
         t0 = t1
         it += chunk
+        chunks_done += 1
         citers.append(it)
         traces_f.append(np.asarray(tf))  # (S, chunk)
         traces_g.append(np.asarray(tg))
         f_last = np.asarray(state.f)
         gap_last = np.asarray(state.gap)
         rel = gap_last / np.maximum(1.0, np.abs(f_last))
+        if metrics is not None:
+            metrics.log("chunk", iteration=it, f=f_last.tolist(),
+                        relgap=rel.tolist(), secs=ctimes[-1])
+        if checkpoint_path and checkpoint_every and chunks_done % checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+
+            save_state(checkpoint_path, state, meta={"iteration": it})
         if verbose:
             print(f"[sharded] iter {it}: f={f_last} relgap={rel}")
         if np.all(rel <= tol):
             converged = True
             break
+    if checkpoint_path and checkpoint_every:
+        from ..utils.checkpoint import save_state
+
+        save_state(checkpoint_path, state, meta={"iteration": it})
 
     # host-side extraction (global arrays gather transparently)
     from ..ops.projection import proj_blocks
 
     xp = jax.vmap(lambda p: proj_blocks(p, dp.buckets))(state.xp)
     x = extract_sharded(dp, part, xp)
+    if not traces_f:  # resumed past max_iter: nothing ran this call
+        empty = np.zeros((np.asarray(dp.b).shape[0], 0), np.float32)
+        traces_f, traces_g = [empty], [empty]
     f = np.asarray(state.f)
     gap = np.asarray(state.gap)
     if single_rhs:
