@@ -93,8 +93,21 @@ def main(argv=None):
 
     f_star = None
     if cfg.oracle:
-        orc = oracle_solve(prob, tol_gap=1e-10, max_iter=30000)
-        f_star = orc.objective
+        # cache per (config, seed): the float64 oracle on large instances
+        # costs minutes and is deterministic
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".bench")
+        cache = os.path.join(cache_dir, f"oracle_{cfg.config}_{cfg.seed}.json")
+        if cfg.config in ("tiny", "medium", "traffic", "large") and os.path.exists(cache):
+            with open(cache) as fh:
+                f_star = json.load(fh)["objective"]
+        else:
+            orc = oracle_solve(prob, tol_gap=1e-8, max_iter=25000)
+            f_star = orc.objective
+            if cfg.config in ("tiny", "medium", "traffic", "large"):
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(cache, "w") as fh:
+                    json.dump({"objective": f_star, "gap": orc.gap,
+                               "iterations": orc.iterations}, fh)
 
     mesh = None
     if cfg.mesh_block:
