@@ -91,9 +91,10 @@ class EllMatrix:
         return EllMatrix(rows=rows, vals=vals, num_rows=m)
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
-        out = np.zeros(self.num_rows, dtype=np.result_type(self.vals, x))
-        np.add.at(out, self.rows.ravel(), (self.vals * x[:, None]).ravel())
-        return out
+        contrib = (self.vals * x[:, None]).ravel()
+        return np.bincount(
+            self.rows.ravel(), weights=contrib, minlength=self.num_rows
+        ).astype(np.result_type(self.vals, x))
 
     def rmatvec(self, r: np.ndarray) -> np.ndarray:
         return (self.vals * r[self.rows]).sum(axis=1)

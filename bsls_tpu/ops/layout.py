@@ -385,6 +385,33 @@ def page_gather(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return vec[idx]
 
 
+_GATHER_CHUNK_ELEMS = 4 * 1024 * 1024
+
+
+def gather_dot(vals: jnp.ndarray, idx: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """sum(vals * vec[idx], axis=-1) for (rows, k) vals/idx.
+
+    For very large rows*k (the 1M-block config has 48M nonzeros) the fused
+    gather would materialise an (rows, k[, S]) buffer that blows HBM under
+    scenario-vmap; chunk sequentially over row segments with lax.map to
+    bound peak memory."""
+    rows, k = idx.shape
+    total = rows * k
+    if total <= _GATHER_CHUNK_ELEMS:
+        return jnp.sum(vals * vec[idx], axis=-1)
+    nseg = 1
+    while total // nseg > _GATHER_CHUNK_ELEMS and nseg < rows:
+        nseg *= 2
+    while nseg > 1 and rows % nseg:
+        nseg //= 2
+    if nseg <= 1:
+        return jnp.sum(vals * vec[idx], axis=-1)
+    c = idx.reshape(nseg, rows // nseg, k)
+    v = vals.reshape(nseg, rows // nseg, k)
+    y = jax.lax.map(lambda cv: jnp.sum(cv[1] * vec[cv[0]], axis=-1), (c, v))
+    return y.reshape(rows)
+
+
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """A @ x for PF flat x (shard-local partial result when sharded)."""
     if isinstance(A, DeviceDense):
@@ -397,10 +424,10 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         # column offsets.
         ns, m, kr = A.mv_cols.shape
         if ns == 1:
-            return jnp.sum(A.mv_vals[0] * page_gather(x, A.mv_cols[0]), axis=-1)
+            return gather_dot(A.mv_vals[0], A.mv_cols[0], x)
         n_loc = x.shape[-1] // ns
         offs = (jnp.arange(ns) * n_loc)[:, None, None]
-        return jnp.sum(A.mv_vals * page_gather(x, A.mv_cols + offs), axis=(0, -1))
+        return jnp.sum(A.mv_vals * x[A.mv_cols + offs], axis=(0, -1))
     contrib = A.vals * x[:, None]  # (n, k)
     return jax.ops.segment_sum(
         contrib.reshape(-1), A.rows.reshape(-1), num_segments=A.num_rows
@@ -413,7 +440,7 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         return A.data.T @ r
     if isinstance(A, DeviceVStack):
         return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
-    return jnp.sum(A.vals * page_gather(r, A.rows), axis=1)
+    return gather_dot(A.vals, A.rows, r)
 
 
 def psum_if_sharded(dp: DeviceProblem, v):
