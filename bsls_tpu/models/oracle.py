@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..utils.refimpl import proj_blocks_np
+
 from .problem import Problem
 
 __all__ = ["OracleResult", "fw_gap_np", "oracle_solve"]

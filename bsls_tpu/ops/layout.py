@@ -367,24 +367,14 @@ def extract_user_flat(dp: DeviceProblem, xp) -> jnp.ndarray:
 
 # ---------------- matvec ----------------
 
-_PAGE = 128  # gather page width = one lane row
-
-
-def page_gather(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """vec[idx] — plain XLA gather.
-
-    Perf notes from on-chip measurement (v5e via axon): a scalar gather
-    costs ~6ns per gathered ROW regardless of row width, so single-RHS
-    sparse matvec is gather-bound (~10ms for 1.6M elements) no matter the
-    layout — a 128-wide "page gather + lane select" variant was tried and
-    reverted (same row count, and under scenario-vmap it materialises a
-    (nnz, S, 128) buffer that OOMs HBM).  The framework's lever is
-    scenario batching: vmapping the solver over S RHS turns this into a
-    width-S row gather, amortising to ~0.2ms/RHS at S=32 (~70x).
-    """
-    return vec[idx]
-
-
+# Perf notes from on-chip measurement (v5e via axon): a scalar gather costs
+# ~6ns per gathered ROW regardless of row width, so single-RHS sparse matvec
+# is gather-bound (~10ms for 1.6M elements) no matter the layout — a
+# 128-wide "page gather + lane select" variant was tried and reverted (same
+# row count, and under scenario-vmap it materialises a (nnz, S, 128) buffer
+# that OOMs HBM).  The framework's lever is scenario batching: vmapping the
+# solver over S RHS turns this into a width-S row gather, amortising to
+# ~0.2ms/RHS at S=32 (~70x).
 _GATHER_CHUNK_ELEMS = 4 * 1024 * 1024
 
 
