@@ -27,7 +27,10 @@ C_ITERS = 60
 TPU_WARM_CHUNKS = 1
 TPU_CHUNK = 100
 TPU_CHUNKS = 5
-SCENARIOS = 32  # multi-RHS batch (BASELINE.json:10); gathers amortize ~70x
+# multi-RHS batch width (BASELINE.json:10): gathers amortise with S —
+# measured aggregate vs the C baseline: S=32 -> 11.8x, S=64 -> 19.4x,
+# S=128 -> 29.9x on one v5e chip
+SCENARIOS = 128
 
 
 def get_problem():

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Scaling-efficiency measurement: iterations/s vs mesh size.
+
+    python benchmarks/scaling.py --config medium --scenarios 8 \
+        --blocks 1 2 4 8 --platform cpu8
+
+On a real pod slice this produces the BASELINE.json:5 numbers (1 chip /
+1 host / N hosts, efficiency vs linear); on this single-chip machine it is
+validated on the simulated CPU mesh.  Efficiency_n = (ips_n / ips_1) / n.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="medium")
+    p.add_argument("--scenarios", type=int, default=8)
+    p.add_argument("--blocks", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--max-iter", type=int, default=300)
+    p.add_argument("--chunk", type=int, default=100)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform == "cpu8":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.platform == "cpu8":
+        jax.config.update("jax_platforms", "cpu")
+
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.models.synthetic import with_scenarios
+    from bsls_tpu.parallel import make_mesh, solve_sharded
+
+    prob = synthetic.make_config(args.config)
+    if prob.C is not None:
+        import bsls_tpu as bsls
+
+        prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name=prob.name)
+    prob = with_scenarios(prob, args.scenarios)
+
+    results = []
+    base_ips = None
+    for nb in args.blocks:
+        if nb > len(jax.devices()):
+            break
+        mesh = make_mesh(block=nb, scenario=1, devices=jax.devices()[:nb])
+        res = solve_sharded(prob, mesh, method="pgd", tol=0.0,
+                            max_iter=args.max_iter, chunk=args.chunk)
+        t = res.chunk_times[1:] if len(res.chunk_times) > 1 else res.chunk_times
+        ips = args.scenarios * args.chunk / float(np.median(t))
+        if base_ips is None:
+            base_ips = ips
+        eff = ips / base_ips / nb
+        row = {
+            "mesh_block": nb, "iters_per_sec": round(ips, 2),
+            "speedup": round(ips / base_ips, 3), "efficiency": round(eff, 3),
+            "objective_max": float(np.max(np.asarray(res.objective))),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
