@@ -121,20 +121,42 @@ _register(DeviceBucket, ["mask", "sizes", "radius"], ["width"])
 
 @dataclass(frozen=True)
 class DeviceProblem:
+    """Device-side problem.  Sharding is described by two optional mesh axes
+    (the 2-D sharded-matvec pattern of SURVEY.md §2b — blockwise compute +
+    collectives, the same shape ring attention uses):
+
+      col_axis — A's columns (and x) sharded by block: A@x psums partials
+                 over it; x-space inner products psum over it.
+      row_axis — A's rows (and r) sharded (the SP/CP analog for tall A):
+                 A^T r psums partials over it; r-space inner products psum
+                 over it.
+
+    Either, both, or neither may be set; all collective placement in the
+    solvers flows through matvec_ps/rmatvec_ps/xdot/rdot below."""
+
     A: DeviceMatrix
     b: jnp.ndarray  # (m,) single scenario or (S, m)
     buckets: tuple  # tuple[DeviceBucket, ...]
     perm: jnp.ndarray  # (n_pf,) int32: user-flat index per PF slot, -1 = pad
     n_user: int  # static: user flat length N
     num_rows: int  # static
-    reduce_axis: Optional[str] = None  # static: mesh axis for psum (sharded)
+    col_axis: Optional[str] = None  # static: mesh axis sharding A columns
+    row_axis: Optional[str] = None  # static: mesh axis sharding A rows
 
     @property
     def n_pf(self) -> int:
         return self.perm.shape[0]
 
+    @property
+    def reduce_axis(self):  # back-compat alias
+        return self.col_axis
 
-_register(DeviceProblem, ["A", "b", "buckets", "perm"], ["n_user", "num_rows", "reduce_axis"])
+
+_register(
+    DeviceProblem,
+    ["A", "b", "buckets", "perm"],
+    ["n_user", "num_rows", "col_axis", "row_axis"],
+)
 
 
 # ---------------- preparation (host side, numpy) ----------------
@@ -278,8 +300,10 @@ def prepare(
     problem: Problem,
     dtype=jnp.float32,
     n_shards: int = 1,
-    reduce_axis: Optional[str] = None,
+    col_axis: Optional[str] = None,
+    row_axis: Optional[str] = None,
     equilibrate: bool = True,
+    reduce_axis: Optional[str] = None,  # deprecated alias for col_axis
 ) -> DeviceProblem:
     """Move a host Problem into the device-side PF layout.
 
@@ -313,7 +337,8 @@ def prepare(
         perm=jnp.asarray(perm),
         n_user=part.n_flat,
         num_rows=problem.A.shape[0],
-        reduce_axis=reduce_axis,
+        col_axis=col_axis or reduce_axis,
+        row_axis=row_axis,
     )
 
 
@@ -434,19 +459,39 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def psum_if_sharded(dp: DeviceProblem, v):
-    return jax.lax.psum(v, dp.reduce_axis) if dp.reduce_axis else v
+    return jax.lax.psum(v, dp.col_axis) if dp.col_axis else v
 
 
 def matvec_ps(dp: DeviceProblem, x: jnp.ndarray) -> jnp.ndarray:
-    """A @ x assembled across the block shards: local partial + psum.
+    """A @ x assembled across the column (block) shards: local partial +
+    psum over col_axis.  Under row sharding the result is this device's row
+    segment of r (no collective needed).  THE residual collective of the
+    sharded step (SURVEY.md §3e)."""
+    y = matvec(dp.A, x)
+    return jax.lax.psum(y, dp.col_axis) if dp.col_axis else y
 
-    This is THE residual collective of the sharded step (SURVEY.md §3e)."""
-    return psum_if_sharded(dp, matvec(dp.A, x))
+
+def rmatvec_ps(dp: DeviceProblem, r: jnp.ndarray) -> jnp.ndarray:
+    """A^T @ r assembled across the row shards: local partial + psum over
+    row_axis.  Under column-only sharding it is block-local (r replicated)."""
+    g = rmatvec(dp.A, r)
+    return jax.lax.psum(g, dp.row_axis) if dp.row_axis else g
 
 
-def pvdot(dp: DeviceProblem, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Inner product of two block-sharded (PF or bucket-flat) vectors."""
-    return psum_if_sharded(dp, jnp.vdot(a, b).real)
+def xdot(dp: DeviceProblem, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inner product of x-space (PF / bucket-flat, column-sharded) vectors."""
+    s = jnp.vdot(a, b).real
+    return jax.lax.psum(s, dp.col_axis) if dp.col_axis else s
+
+
+def rdot(dp: DeviceProblem, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inner product of r-space (row-sharded) vectors."""
+    s = jnp.vdot(a, b).real
+    return jax.lax.psum(s, dp.row_axis) if dp.row_axis else s
+
+
+# back-compat name used throughout the solvers for x-space dots
+pvdot = xdot
 
 
 # ---------------- small helpers ----------------

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .layout import DeviceProblem, matvec, matvec_ps, rmatvec
+from .layout import DeviceProblem, matvec_ps, rdot, rmatvec_ps
 
 __all__ = [
     "residual",
@@ -22,24 +22,26 @@ __all__ = [
 
 
 def residual(dp: DeviceProblem, x_flat: jnp.ndarray, b=None) -> jnp.ndarray:
-    """r = A x - b; under a block-sharded mesh the partial matvec psums."""
+    """r = A x - b; under a column(block)-sharded mesh the partial matvec
+    psums; under a row-sharded mesh this is the local row segment."""
     return matvec_ps(dp, x_flat) - (dp.b if b is None else b)
 
 
-def objective_from_residual(r: jnp.ndarray) -> jnp.ndarray:
-    return 0.5 * jnp.vdot(r, r).real
+def objective_from_residual(dp: DeviceProblem, r: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * rdot(dp, r, r)
 
 
 def grad_flat(dp: DeviceProblem, r: jnp.ndarray) -> jnp.ndarray:
-    return rmatvec(dp.A, r)
+    return rmatvec_ps(dp, r)
 
 
-def exact_step(g_dot_d: jnp.ndarray, Ad: jnp.ndarray, t_lo=0.0, t_hi=1.0) -> jnp.ndarray:
+def exact_step(dp: DeviceProblem, g_dot_d: jnp.ndarray, Ad: jnp.ndarray,
+               t_lo=0.0, t_hi=1.0) -> jnp.ndarray:
     """Exact minimiser of f(x + t d) over [t_lo, t_hi].
 
     f(x+td) = f(x) + t g.d + t^2/2 ||Ad||^2  =>  t* = -g.d / ||Ad||^2.
     """
-    den = jnp.vdot(Ad, Ad).real
+    den = rdot(dp, Ad, Ad)
     t = -g_dot_d / jnp.maximum(den, 1e-30)
     return jnp.clip(t, t_lo, t_hi)
 

@@ -1,5 +1,5 @@
 from .mesh import BLOCK_AXIS, SCENARIO_AXIS, init_distributed, make_mesh
-from .sharding import shard_problem, solve_sharded
+from .sharding import shard_problem, shard_problem_rows, solve_sharded
 
 __all__ = [
     "BLOCK_AXIS",
@@ -7,5 +7,6 @@ __all__ = [
     "init_distributed",
     "make_mesh",
     "shard_problem",
+    "shard_problem_rows",
     "solve_sharded",
 ]

@@ -9,8 +9,8 @@ Layout (SURVEY.md §2b, §3e):
 
 Each device computes its partial A_s @ x_s; the residual assembles with a
 single psum over 'block' per iteration; A^T r is then block-local.  Line
-search and gap inner products psum likewise (``reduce_axis='block'`` in the
-DeviceProblem makes every L.pvdot/L.matvec_ps collective-aware, so the
+search and gap inner products psum likewise (``col_axis='block'`` in the
+DeviceProblem makes every L.xdot/L.matvec_ps collective-aware, so the
 *same solver step functions* run sharded and unsharded).  Scenarios are
 vmapped locally, sharded across the 'scenario' axis.
 """
@@ -34,6 +34,7 @@ __all__ = ["shard_problem", "solve_sharded"]
 
 # ---------------- spec construction ----------------
 
+# column (block) sharding: A columns + x by block, r replicated
 _LEAF_SPECS = {
     "data": P(None, BLOCK_AXIS),  # dense A columns
     "rows": P(BLOCK_AXIS, None),  # ELL (column-oriented)
@@ -61,6 +62,31 @@ _STATE_SPECS = {
     "yp": P(SCENARIO_AXIS, BLOCK_AXIS, None),
 }
 
+# row sharding (the SP/CP analog for very tall A, SURVEY.md §2b): A rows +
+# r by shard, x replicated; A^T r and r-space dots psum over the axis
+_LEAF_SPECS_ROWS = {
+    "data": P(BLOCK_AXIS, None),  # dense A rows
+    "bottom_scale": P(),
+    "mask": P(None, None),
+    "sizes": P(None),
+    "radius": P(None),
+    "b": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "perm": P(None),
+}
+
+_STATE_SPECS_ROWS = {
+    "r": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "ry": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "f": P(SCENARIO_AXIS),
+    "gap": P(SCENARIO_AXIS),
+    "k": P(SCENARIO_AXIS),
+    "t_mom": P(SCENARIO_AXIS),
+    "x_prev": P(SCENARIO_AXIS, None),
+    "g_prev": P(SCENARIO_AXIS, None),
+    "xp": P(SCENARIO_AXIS, None, None),
+    "yp": P(SCENARIO_AXIS, None, None),
+}
+
 
 def _path_name(path) -> str:
     for entry in reversed(path):
@@ -71,25 +97,27 @@ def _path_name(path) -> str:
     return ""
 
 
-def dp_specs(dp: L.DeviceProblem):
+def dp_specs(dp: L.DeviceProblem, rows: bool = False):
     """PartitionSpec pytree matching a DeviceProblem."""
+    table = _LEAF_SPECS_ROWS if rows else _LEAF_SPECS
 
     def spec_for(path, leaf):
         name = _path_name(path)
-        if name in _LEAF_SPECS:
-            return _LEAF_SPECS[name]
+        if name in table:
+            return table[name]
         raise ValueError(f"no sharding rule for DeviceProblem leaf {path}")
 
     return jax.tree_util.tree_map_with_path(spec_for, dp)
 
 
-def state_specs(state):
+def state_specs(state, rows: bool = False):
     """PartitionSpec pytree for a solver state (leading scenario axis)."""
+    table = _STATE_SPECS_ROWS if rows else _STATE_SPECS
 
     def spec_for(path, leaf):
         name = _path_name(path)
-        if name in _STATE_SPECS:
-            return _STATE_SPECS[name]
+        if name in table:
+            return table[name]
         raise ValueError(f"no sharding rule for state leaf {path} (name={name!r})")
 
     return jax.tree_util.tree_map_with_path(spec_for, state)
@@ -103,7 +131,7 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
 
     Rebuilds the partition so every bucket's rows divide the block axis and
     lays A's columns out device-major (L.prepare(n_shards=nb)).
-    Returns (dp_sharded, part) where dp.reduce_axis='block'.
+    Returns (dp_sharded, part) where dp.col_axis='block'.
     """
     from ..models.partition import BlockPartition
 
@@ -119,12 +147,44 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
     if b.shape[0] % ns:
         raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
     problem = replace(problem, b=b)
-    dp = L.prepare(problem, dtype=dtype, n_shards=nb, reduce_axis=BLOCK_AXIS)
+    dp = L.prepare(problem, dtype=dtype, n_shards=nb, col_axis=BLOCK_AXIS)
     specs = dp_specs(dp)
     dp = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
     )
     return dp, part
+
+
+def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
+    """Row-sharded preparation (tall-A / SP-analog): A's ROWS and r are
+    sharded over the block axis, x is replicated.  Dense A only (a
+    row-sharded dual-ELL needs per-shard re-encoding — future work).
+    Rows are zero-padded so the axis divides m (zero rows contribute
+    nothing to a least-squares residual)."""
+    from ..models.problem import DenseMatrix
+
+    if not isinstance(problem.A, DenseMatrix):
+        raise NotImplementedError("row sharding currently supports dense A")
+    nr = mesh.shape[BLOCK_AXIS]
+    ns = mesh.shape[SCENARIO_AXIS]
+    b = np.asarray(problem.b)
+    if b.ndim == 1:
+        b = b[None, :]
+    if b.shape[0] % ns:
+        raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
+    m = problem.A.shape[0]
+    pad = (-m) % nr
+    A = problem.A.data
+    if pad:
+        A = np.concatenate([A, np.zeros((pad, A.shape[1]), A.dtype)], axis=0)
+        b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)], axis=1)
+    problem = replace(problem, A=DenseMatrix(A), b=b)
+    dp = L.prepare(problem, dtype=dtype, n_shards=1, row_axis=BLOCK_AXIS)
+    specs = dp_specs(dp, rows=True)
+    dp = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
+    )
+    return dp, problem.partition
 
 
 # ---------------- sharded driver ----------------
@@ -164,22 +224,30 @@ def solve_sharded(
     checkpoint_path=None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    shard_rows: bool = False,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
-    (S, m) (S=1 for a single RHS) and results keep the scenario axis."""
+    (S, m) (S=1 for a single RHS) and results keep the scenario axis.
+
+    ``shard_rows=True`` shards A's ROWS over the block axis instead of its
+    columns (the tall-A / sequence-parallel analog, dense A only): the
+    residual is row-local, A^T r and r-space inner products psum."""
     from ..solvers.base import SolveOptions, SolveResult, _get_solver, power_lipschitz
 
     if isinstance(problem, Problem) and problem.C is not None:
         raise NotImplementedError("sharded equality-constrained solve: wrap with AL manually")
 
     single_rhs = np.asarray(problem.b).ndim == 1
-    dp, part = shard_problem(problem, mesh, dtype=dtype)
+    if shard_rows:
+        dp, part = shard_problem_rows(problem, mesh, dtype=dtype)
+    else:
+        dp, part = shard_problem(problem, mesh, dtype=dtype)
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size,
     )
     solver = _get_solver(method)
-    dspecs = dp_specs(dp)
+    dspecs = dp_specs(dp, rows=shard_rows)
 
     lips = jax.jit(
         jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
@@ -194,12 +262,12 @@ def solve_sharded(
     state_struct = jax.eval_shape(
         lambda d: jax.vmap(
             lambda b: solver.init(
-                replace(d, b=b, reduce_axis=None), jnp.asarray(1.0, dtype), opts
+                replace(d, b=b, col_axis=None, row_axis=None), jnp.asarray(1.0, dtype), opts
             )
         )(d.b),
         dp,
     )
-    sspecs = state_specs(state_struct)
+    sspecs = state_specs(state_struct, rows=shard_rows)
 
     init_fn = jax.jit(
         jax.shard_map(_init, mesh=mesh, in_specs=(dspecs, P()), out_specs=sspecs)

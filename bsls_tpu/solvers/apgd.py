@@ -35,7 +35,7 @@ class APGDState(NamedTuple):
 def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> APGDState:
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     r = Q.residual(dp, L.padded_to_flat(dp, xp))
-    f = Q.objective_from_residual(r)
+    f = Q.objective_from_residual(dp, r)
     return APGDState(
         xp=xp, yp=xp, r=r, ry=r, f=f,
         gap=jnp.asarray(jnp.inf, f.dtype),
@@ -47,7 +47,7 @@ def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> APGDState:
 def refresh(dp, st: APGDState, L_est, opts: SolveOptions) -> APGDState:
     r = Q.residual(dp, L.padded_to_flat(dp, st.xp))
     ry = Q.residual(dp, L.padded_to_flat(dp, st.yp))
-    return st._replace(r=r, ry=ry, f=Q.objective_from_residual(r))
+    return st._replace(r=r, ry=ry, f=Q.objective_from_residual(dp, r))
 
 
 def step(dp, st: APGDState, L_est, opts: SolveOptions) -> APGDState:
@@ -64,7 +64,7 @@ def step(dp, st: APGDState, L_est, opts: SolveOptions) -> APGDState:
     xhat = projection.proj_blocks(cand, dp.buckets)
     d_flat = L.padded_to_flat(dp, tuple(xh - y for xh, y in zip(xhat, st.yp)))
     r_cand = st.ry + L.matvec_ps(dp, d_flat)
-    f_cand = Q.objective_from_residual(r_cand)
+    f_cand = Q.objective_from_residual(dp, r_cand)
 
     # monotone safeguard: keep the candidate only if it does not increase f
     accept = f_cand <= st.f

@@ -102,17 +102,17 @@ def power_lipschitz(dp: L.DeviceProblem, iters: int = 30, seed: int = 0) -> jnp.
     """||A||_2^2 estimate by power iteration on A^T A (device-side, jittable,
     collective-aware under a sharded mesh)."""
     key = jax.random.PRNGKey(seed)
-    if dp.reduce_axis:
+    if dp.col_axis:
         # per-shard slice of the global random vector (also marks the value
         # as varying over the block axis for shard_map's VMA tracking)
-        key = jax.random.fold_in(key, jax.lax.axis_index(dp.reduce_axis))
+        key = jax.random.fold_in(key, jax.lax.axis_index(dp.col_axis))
     v = jax.random.normal(key, (dp.n_pf,), dtype=dp.b.dtype)
-    v = v / jnp.sqrt(jnp.maximum(L.pvdot(dp, v, v), 1e-30))
+    v = v / jnp.sqrt(jnp.maximum(L.xdot(dp, v, v), 1e-30))
 
     def body(_, carry):
         v, lam = carry
-        w = L.rmatvec(dp.A, L.matvec_ps(dp, v))
-        lam = jnp.sqrt(jnp.maximum(L.pvdot(dp, w, w), 1e-30))
+        w = L.rmatvec_ps(dp, L.matvec_ps(dp, v))
+        lam = jnp.sqrt(jnp.maximum(L.xdot(dp, w, w), 1e-30))
         return w / lam, lam
 
     _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, dp.b.dtype)))

@@ -30,14 +30,14 @@ def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> FWState:
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     r = Q.residual(dp, L.padded_to_flat(dp, xp))
     return FWState(
-        xp=xp, r=r, f=Q.objective_from_residual(r),
+        xp=xp, r=r, f=Q.objective_from_residual(dp, r),
         gap=jnp.asarray(jnp.inf, r.dtype), k=jnp.asarray(0, jnp.int32),
     )
 
 
 def refresh(dp, st: FWState, L_est, opts: SolveOptions) -> FWState:
     r = Q.residual(dp, L.padded_to_flat(dp, st.xp))
-    return st._replace(r=r, f=Q.objective_from_residual(r))
+    return st._replace(r=r, f=Q.objective_from_residual(dp, r))
 
 
 def step(dp, st: FWState, L_est, opts: SolveOptions) -> FWState:
@@ -46,16 +46,16 @@ def step(dp, st: FWState, L_est, opts: SolveOptions) -> FWState:
     sp = fw_vertex(gp, dp.buckets)
     dxp = tuple(s - x for s, x in zip(sp, st.xp))
     d_flat = L.padded_to_flat(dp, dxp)
-    g_dot_d = L.pvdot(dp, g_flat, d_flat)
+    g_dot_d = L.xdot(dp, g_flat, d_flat)
     # exact FW duality gap: g.(x - s) = -g.d
     gap = -g_dot_d
     Ad = L.matvec_ps(dp, d_flat)
     if opts.line_search == "fixed":
         t = 2.0 / (st.k.astype(g_flat.dtype) + 2.0)
     else:
-        t = Q.exact_step(g_dot_d, Ad, 0.0, 1.0)
+        t = Q.exact_step(dp, g_dot_d, Ad, 0.0, 1.0)
     xp_new = tuple(x + t * d for x, d in zip(st.xp, dxp))
     r_new = st.r + t * Ad
     return FWState(
-        xp=xp_new, r=r_new, f=Q.objective_from_residual(r_new), gap=gap, k=st.k + 1
+        xp=xp_new, r=r_new, f=Q.objective_from_residual(dp, r_new), gap=gap, k=st.k + 1
     )

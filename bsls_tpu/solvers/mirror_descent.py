@@ -31,14 +31,14 @@ def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> EGState:
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     r = Q.residual(dp, L.padded_to_flat(dp, xp))
     return EGState(
-        xp=xp, r=r, f=Q.objective_from_residual(r),
+        xp=xp, r=r, f=Q.objective_from_residual(dp, r),
         gap=jnp.asarray(jnp.inf, r.dtype), k=jnp.asarray(0, jnp.int32),
     )
 
 
 def refresh(dp, st: EGState, L_est, opts: SolveOptions) -> EGState:
     r = Q.residual(dp, L.padded_to_flat(dp, st.xp))
-    return st._replace(r=r, f=Q.objective_from_residual(r))
+    return st._replace(r=r, f=Q.objective_from_residual(dp, r))
 
 
 def step(dp, st: EGState, L_est, opts: SolveOptions) -> EGState:
@@ -58,10 +58,10 @@ def step(dp, st: EGState, L_est, opts: SolveOptions) -> EGState:
     if opts.line_search == "fixed":
         t = jnp.asarray(1.0, x_flat.dtype)
     else:
-        t = Q.exact_step(L.pvdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
+        t = Q.exact_step(dp, L.xdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
 
     xp_new = tuple(x + t * d for x, d in zip(st.xp, dxp))
     r_new = st.r + t * Ad
     return EGState(
-        xp=xp_new, r=r_new, f=Q.objective_from_residual(r_new), gap=gap, k=st.k + 1
+        xp=xp_new, r=r_new, f=Q.objective_from_residual(dp, r_new), gap=gap, k=st.k + 1
     )

@@ -51,7 +51,7 @@ def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> PGDState:
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     x_flat = L.padded_to_flat(dp, xp)
     r = Q.residual(dp, x_flat)
-    f = Q.objective_from_residual(r)
+    f = Q.objective_from_residual(dp, r)
     return PGDState(
         xp=xp, r=r, f=f,
         gap=jnp.asarray(jnp.inf, f.dtype),
@@ -64,7 +64,7 @@ def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> PGDState:
 def refresh(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
     x_flat = L.padded_to_flat(dp, st.xp)
     r = Q.residual(dp, x_flat)
-    return st._replace(r=r, f=Q.objective_from_residual(r))
+    return st._replace(r=r, f=Q.objective_from_residual(dp, r))
 
 
 def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
@@ -80,7 +80,7 @@ def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
     if opts.line_search == "bb":
         dx = x_flat - st.x_prev
         dg = g_flat - st.g_prev
-        t_bb = Q.bb_step(L.pvdot(dp, dx, dx), L.pvdot(dp, dx, dg), fallback=t0)
+        t_bb = Q.bb_step(L.xdot(dp, dx, dx), L.xdot(dp, dx, dg), fallback=t0)
         t0 = jnp.where(st.k > 0, t_bb, t0)
 
     if opts.line_search == "pava" or opts.space == "z":
@@ -102,13 +102,13 @@ def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
     d_flat = L.padded_to_flat(dp, dxp)
     Ad = L.matvec_ps(dp, d_flat)
     if opts.line_search in ("exact", "pava"):
-        t = Q.exact_step(L.pvdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
+        t = Q.exact_step(dp, L.xdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
     else:
         t = jnp.asarray(1.0, x_flat.dtype)
 
     xp_new = tuple(x + t * d for x, d in zip(st.xp, dxp))
     r_new = st.r + t * Ad
-    f_new = Q.objective_from_residual(r_new)
+    f_new = Q.objective_from_residual(dp, r_new)
     return PGDState(
         xp=xp_new, r=r_new, f=f_new, gap=gap, k=st.k + 1,
         x_prev=x_flat, g_prev=g_flat,

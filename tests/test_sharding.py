@@ -77,6 +77,34 @@ def test_sharded_both_axes_multi_rhs(eight_devices):
     )
 
 
+def test_row_sharded_matches_single_device(eight_devices):
+    """SP/CP-analog: dense A rows + r sharded, x replicated; psum'd A^T r."""
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = synthetic.tiny_dense(seed=4, num_blocks=32, dim=8, m=333)  # m % 8 != 0: pad path
+    res1 = bsls.solve(prob, method="pgd", tol=1e-7, max_iter=400, chunk=100)
+    res8 = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=400,
+                         chunk=100, shard_rows=True)
+    np.testing.assert_allclose(
+        float(np.asarray(res8.objective)), float(np.asarray(res1.objective)),
+        rtol=5e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(res8.x, res1.x, atol=5e-4)
+
+
+def test_row_sharded_apgd_both_axes(eight_devices):
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = synthetic.tiny_dense(seed=5, num_blocks=16, dim=4, m=96)
+    from bsls_tpu.models.synthetic import with_scenarios
+
+    prob = with_scenarios(prob, 4, seed=2)
+    res = solve_sharded(prob, mesh, method="apgd", tol=1e-7, max_iter=400,
+                        chunk=100, shard_rows=True)
+    res0 = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=400, chunk=100)
+    np.testing.assert_allclose(
+        np.asarray(res.objective), np.asarray(res0.objective), rtol=1e-3, atol=1e-6
+    )
+
+
 def test_sharded_ragged_blocks(eight_devices):
     mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
     prob = synthetic.traffic_like(num_blocks=64, m=200, num_eq=0, noise=1e-3)
