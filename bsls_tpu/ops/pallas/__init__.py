@@ -15,14 +15,15 @@ __all__ = ["use_pallas", "proj_simplex_pallas", "pava_pallas"]
 
 @lru_cache(maxsize=1)
 def use_pallas() -> bool:
-    # Both kernels are validated on real v5e hardware (2026-08-17) in their
-    # current bisection/loop formulations.  Dispatch stays opt-in
-    # (BSLS_PALLAS=1) because the XLA paths are not the bottleneck on the
-    # benchmark configs (the sparse-matvec gathers are) and the scenario-
-    # vmapped pallas_call path hasn't been perf-qualified yet.  History:
-    # sort-network/tri-matmul/cumsum formulations that pass interpret-mode
-    # tests mis-lower via this image's Mosaic — keep kernels to elementwise
-    # ops, masked lane reductions, and fori_loop(unroll=1).
+    # Both kernels are validated bit-correct on real v5e hardware
+    # (2026-08-17) in their bisection/loop formulations.  Dispatch stays
+    # opt-in (BSLS_PALLAS=1): measured head-to-head at the benchmark config
+    # (medium x128 scenarios) the XLA paths win 5851 vs 1619 it/s — vmapped
+    # pallas_call serialises over the scenario batch, and the sparse-matvec
+    # gathers (not the projection) dominate anyway.  History: sort-network/
+    # tri-matmul/cumsum formulations that pass interpret-mode tests
+    # mis-lower via this image's Mosaic — keep kernels to elementwise ops,
+    # masked lane reductions, and fori_loop(unroll=1).
     if os.environ.get("BSLS_PALLAS", "") != "1":
         return False
     try:
