@@ -91,3 +91,22 @@ def test_oracle_certifies_tiny():
     # gap really certifies: perturbing increases objective beyond gap bound
     g = prob.gradient_np(res.x)
     assert fw_gap_np(g, res.x, prob.partition.sizes) <= 1e-9
+
+
+def test_mat_loader_roundtrip(tmp_path):
+    """Reference-style MATLAB instance files load through Problem.load."""
+    from scipy.io import savemat
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(9)
+    sizes = np.array([3, 4, 2])
+    n = int(sizes.sum())
+    A = sp.random(12, n, density=0.4, random_state=9, format="csr")
+    x_true = np.concatenate([rng.dirichlet(np.ones(s)) for s in sizes])
+    b = A @ x_true
+    path = str(tmp_path / "inst.mat")
+    savemat(path, {"A": A, "b": b, "block_sizes": sizes, "x_true": x_true})
+    prob = Problem.load(path)
+    assert prob.shape == (12, n)
+    assert (prob.partition.sizes == sizes).all()
+    np.testing.assert_allclose(prob.A.matvec(x_true), b, atol=1e-10)
