@@ -92,6 +92,10 @@ def main(argv=None):
     t_gen = time.perf_counter() - t_gen
 
     f_star = None
+    if cfg.oracle and prob.C is not None:
+        print("# oracle skipped: instance has equality constraints (the CPU "
+              "oracle certifies the unconstrained optimum only)", file=sys.stderr)
+        cfg.oracle = False
     if cfg.oracle:
         # cache per (config, seed): the float64 oracle on large instances
         # costs minutes and is deterministic
