@@ -74,16 +74,21 @@ class DeviceEll:
     scatters — this is the sparse-matvec design decision of SURVEY.md §7
     hard part 2.
 
-    mv_cols/mv_vals have shape (n_shards, m, kr); under shard_map each
-    device sees its (1, m, kr) slice and computes its partial A_s @ x_s.
-    When a pathological row makes kr blow past ROW_ELL_MAX_K, the row-ELL
-    copy is dropped (None) and matvec falls back to segment_sum.
+    Unsharded instances use *row-nnz bucketing*: gather cost on this stack
+    is per gathered row, so padding every row to the max nnz wastes rows
+    3-4x.  At prepare time rows are permuted so nnz counts are ascending
+    (b permuted to match — the row order of a least-squares system is
+    arbitrary) and grouped into power-of-two widths; mv_cols/mv_vals are
+    then TUPLES of (m_k, w_k) arrays whose partial results concatenate
+    contiguously.  Sharded instances (shard_map slices by leading axis)
+    keep the single (n_shards, m, kr) layout.  A pathological kr >
+    ROW_ELL_MAX_K drops the row copy (None) -> segment_sum fallback.
     """
 
     rows: jnp.ndarray  # (n_pf, k) int32  — column-oriented (for A^T r)
     vals: jnp.ndarray  # (n_pf, k)
-    mv_cols: Optional[jnp.ndarray]  # (n_shards, m, kr) int32 local PF cols
-    mv_vals: Optional[jnp.ndarray]  # (n_shards, m, kr)
+    mv_cols: Optional[object]  # tuple[(m_k, w_k)] or (n_shards, m, kr) int32
+    mv_vals: Optional[object]  # matching values
     num_rows: int  # static
 
 
@@ -142,6 +147,8 @@ class DeviceProblem:
     num_rows: int  # static
     col_axis: Optional[str] = None  # static: mesh axis sharding A columns
     row_axis: Optional[str] = None  # static: mesh axis sharding A rows
+    row_perm: Optional[jnp.ndarray] = None  # (m,) original row id per
+    # device-row position (set when row-nnz bucketing permuted the rows)
 
     @property
     def n_pf(self) -> int:
@@ -154,7 +161,7 @@ class DeviceProblem:
 
 _register(
     DeviceProblem,
-    ["A", "b", "buckets", "perm"],
+    ["A", "b", "buckets", "perm", "row_perm"],
     ["n_user", "num_rows", "col_axis", "row_axis"],
 )
 
@@ -184,6 +191,65 @@ def build_pf_perm(part: BlockPartition, n_shards: int = 1) -> np.ndarray:
     perm = np.concatenate(chunks)
     assert perm.size == part.padded_size
     return perm
+
+
+def _build_row_ell_bucketed(rows_pf, vals_pf, num_rows: int):
+    """Row-nnz-bucketed row-ELL (unsharded): returns
+    (row_perm, mv_cols_tuple, mv_vals_tuple) where row_perm sorts rows by
+    nonzero count ascending and the tuples hold (m_k, w_k) groups whose
+    matvec partials concatenate to y in *permuted* row order.
+    """
+    n_pf, k = rows_pf.shape
+    nz = vals_pf != 0
+    counts = np.zeros(num_rows, np.int64)
+    np.add.at(counts, rows_pf[nz], 1)
+    if counts.max() > ROW_ELL_MAX_K:
+        return None, None, None
+    row_perm = np.argsort(counts, kind="stable")
+    rank = np.empty(num_rows, np.int64)
+    rank[row_perm] = np.arange(num_rows)
+    counts_sorted = counts[row_perm]
+
+    # nonzeros grouped by permuted row, position within row
+    pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz].astype(np.int32)
+    r_new = rank[rows_pf[nz]]
+    v = vals_pf[nz]
+    order = np.argsort(r_new, kind="stable")
+    r_s, p_s, v_s = r_new[order], pf_pos[order], v[order]
+    first = np.searchsorted(r_s, r_s)
+    pos = np.arange(r_s.size) - first
+
+    # power-of-two bucket widths over the sorted-row space; min width 4
+    # bounds the number of gather groups (compile time through the remote
+    # tunnel grows with op count) while keeping most of the row savings
+    widths = []
+    mx = max(int(counts_sorted.max()), 1)
+    w = min(4, mx)
+    while w < mx:
+        widths.append(w)
+        w *= 2
+    widths.append(mx)
+    widths = sorted(set(widths))
+    mv_cols, mv_vals = [], []
+    lo = 0
+    prev_w = 0
+    for w in widths:
+        hi = int(np.searchsorted(counts_sorted, w, side="right"))
+        m_k = hi - lo
+        if m_k <= 0:
+            prev_w = w
+            continue
+        cols_k = np.zeros((m_k, w), np.int32)
+        vals_k = np.zeros((m_k, w), np.float32)
+        sel = (r_s >= lo) & (r_s < hi)
+        cols_k[r_s[sel] - lo, pos[sel]] = p_s[sel]
+        vals_k[r_s[sel] - lo, pos[sel]] = v_s[sel]
+        mv_cols.append(cols_k)
+        mv_vals.append(vals_k)
+        lo = hi
+        prev_w = w
+    assert lo == num_rows, (lo, num_rows)
+    return row_perm, tuple(mv_cols), tuple(mv_vals)
 
 
 def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
@@ -225,11 +291,15 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
 
 
 def to_device_matrix(
-    M, perm: np.ndarray, dtype=jnp.float32, col_scale=None, n_shards: int = 1
+    M, perm: np.ndarray, dtype=jnp.float32, col_scale=None, n_shards: int = 1,
+    row_bucket: bool = False, _out: Optional[dict] = None,
 ) -> "DeviceMatrix":
     """Move a host matrix to device with PF column permutation/padding.
 
-    ``col_scale`` (N,) divides each user column (block equilibration)."""
+    ``col_scale`` (N,) divides each user column (block equilibration).
+    ``row_bucket=True`` (unsharded EllMatrix only) permutes rows by nnz
+    count into power-of-two width groups — the caller must permute b with
+    the ``row_perm`` stashed into ``_out``."""
     sel = perm >= 0
     cs = None if col_scale is None else np.asarray(col_scale)[perm[sel]]
     if isinstance(M, DenseMatrix):
@@ -243,6 +313,21 @@ def to_device_matrix(
         rows[sel] = np.asarray(M.rows)[perm[sel]]
         v = np.asarray(M.vals)[perm[sel]]
         vals[sel] = v if cs is None else v / cs[:, None]
+        if row_bucket:
+            row_perm, mvc, mvv = _build_row_ell_bucketed(rows, vals, M.num_rows)
+            if row_perm is not None:
+                rank = np.empty(M.num_rows, np.int64)
+                rank[row_perm] = np.arange(M.num_rows)
+                rows = rank[rows].astype(np.int32)  # col-ELL in permuted space
+                if _out is not None:
+                    _out["row_perm"] = row_perm
+                return DeviceEll(
+                    rows=jnp.asarray(rows),
+                    vals=jnp.asarray(vals, dtype=dtype),
+                    mv_cols=tuple(jnp.asarray(c) for c in mvc),
+                    mv_vals=tuple(jnp.asarray(v2, dtype=dtype) for v2 in mvv),
+                    num_rows=M.num_rows,
+                )
         mv_cols, mv_vals = _build_row_ell(rows, vals, M.num_rows, n_shards)
         return DeviceEll(
             rows=jnp.asarray(rows),
@@ -330,15 +415,35 @@ def prepare(
         )
         for b in part.buckets
     )
+    # row-nnz bucketing: only for unsharded plain-ELL problems (sharded
+    # layouts slice mv arrays by a leading shard axis; VStack splits assume
+    # the original row order of each part)
+    row_bucket = (
+        n_shards == 1
+        and not (col_axis or reduce_axis or row_axis)
+        and isinstance(problem.A, EllMatrix)
+    )
+    out_info: dict = {}
+    A = to_device_matrix(
+        problem.A, perm, dtype, col_scale, n_shards, row_bucket=row_bucket, _out=out_info
+    )
+    b = np.asarray(problem.b)
+    if "row_perm" in out_info:
+        b = b[..., out_info["row_perm"]]
     return DeviceProblem(
-        A=to_device_matrix(problem.A, perm, dtype, col_scale, n_shards),
-        b=jnp.asarray(problem.b, dtype=dtype),
+        A=A,
+        b=jnp.asarray(b, dtype=dtype),
         buckets=buckets,
         perm=jnp.asarray(perm),
         n_user=part.n_flat,
         num_rows=problem.A.shape[0],
         col_axis=col_axis or reduce_axis,
         row_axis=row_axis,
+        row_perm=(
+            jnp.asarray(out_info["row_perm"], jnp.int32)
+            if "row_perm" in out_info
+            else None
+        ),
     )
 
 
@@ -433,6 +538,11 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         return A.data @ x
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
+    if isinstance(A.mv_cols, tuple):
+        # row-nnz-bucketed: per-width partials concatenate contiguously in
+        # the (nnz-sorted) permuted row order — no scatter, minimal rows
+        parts = [gather_dot(v, c, x) for c, v in zip(A.mv_cols, A.mv_vals)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     if A.mv_cols is not None:
         # Inside shard_map the leading dim is 1 (one local shard); on a
         # global view it is n_shards and the partials sum with local->global

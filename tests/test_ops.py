@@ -67,19 +67,24 @@ def test_matvec_matches_host_pf():
     dp = prepare(prob, equilibrate=False)
     perm = np.asarray(dp.perm)
     sel = perm >= 0
+    # unsharded ELL prepare row-nnz-buckets: device rows are permuted
+    rp = np.arange(200) if dp.row_perm is None else np.asarray(dp.row_perm)
     x_user = RNG.standard_normal(prob.partition.n_flat)
     x_pf = np.zeros(perm.size, np.float32)
     x_pf[sel] = x_user[perm[sel]]
     got = np.asarray(matvec(dp.A, jnp.asarray(x_pf)))
-    want = prob.A.matvec(x_user)
+    want = prob.A.matvec(x_user)[rp]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())
     r = RNG.standard_normal(200)
-    got2 = np.asarray(rmatvec(dp.A, jnp.asarray(r, dtype=jnp.float32)))
+    # rmatvec consumes r in device (permuted) row order
+    got2 = np.asarray(rmatvec(dp.A, jnp.asarray(r[rp], dtype=jnp.float32)))
     want2 = prob.A.rmatvec(r)
     np.testing.assert_allclose(got2[sel], want2[perm[sel]], rtol=1e-4,
                                atol=1e-4 * np.abs(want2).max())
     # padding columns contribute nothing
     np.testing.assert_allclose(got2[~sel], 0.0)
+    # b was permuted consistently at prepare
+    np.testing.assert_allclose(np.asarray(dp.b), np.asarray(prob.b)[rp], rtol=1e-6)
 
 
 def test_equilibrated_matvec_equivalence():
@@ -96,7 +101,8 @@ def test_equilibrated_matvec_equivalence():
     u_pf = np.zeros(perm.size, np.float32)
     u_pf[sel] = (x_user * col_scale)[perm[sel]]
     got = np.asarray(matvec(dp.A, jnp.asarray(u_pf)))
-    want = prob.A.matvec(x_user)
+    rp = np.arange(150) if dp.row_perm is None else np.asarray(dp.row_perm)
+    want = prob.A.matvec(x_user)[rp]
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * np.abs(want).max())
 
 
