@@ -17,5 +17,6 @@ from .models import (
 )
 from .solvers import SolveResult, solve
 from .parallel import make_mesh
+from .serving import Endpoint
 
 __version__ = "0.1.0"

@@ -1,0 +1,90 @@
+"""Serving endpoint: prepare and compile once, answer many solve requests.
+
+Production deployments hold a fixed incidence matrix A (the road network)
+and answer a stream of right-hand sides b (new sensor readings, scenario
+batches).  ``Endpoint`` front-loads all per-instance work — PF layout,
+equilibration, dual-ELL encoding, Lipschitz estimate, XLA compilation —
+so each request is a warm chunked solve on-device (BASELINE.json frames the
+framework as production route-flow estimation; the reference has no serving
+story, SURVEY.md §5 [ABSENT]).
+
+    ep = Endpoint(problem, method="apgd", chunk=200)
+    ep.warmup()                       # optional: compile before traffic
+    res = ep.solve(b_new, tol=1e-6)   # same shapes -> no recompilation
+    res = ep.solve(B_batch)           # (S, m) batches are first-class
+
+A request whose b has a new shape (different S) triggers one compile for
+that shape and is cached thereafter (jax jit cache keyed on shapes).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.problem import Problem
+from .ops import layout as L
+from .solvers.base import SolveResult, solve
+
+__all__ = ["Endpoint"]
+
+
+class Endpoint:
+    def __init__(
+        self,
+        problem: Problem,
+        method: str = "apgd",
+        line_search: str = "exact",
+        chunk: int = 200,
+        dtype=jnp.float32,
+        equilibrate: bool = True,
+    ):
+        if problem.C is not None:
+            raise NotImplementedError(
+                "serving endpoint for equality-constrained instances: wrap the "
+                "augmented-Lagrangian loop around a plain endpoint"
+            )
+        self.method = method
+        self.line_search = line_search
+        self.chunk = chunk
+        self.dtype = dtype
+        self._dp = L.prepare(problem, dtype=dtype, equilibrate=equilibrate)
+        self._row_perm = (
+            None if self._dp.row_perm is None else np.asarray(self._dp.row_perm)
+        )
+        self._m = problem.A.shape[0]
+
+    @property
+    def num_rows(self) -> int:
+        return self._m
+
+    def _with_b(self, b: np.ndarray):
+        b = np.asarray(b, dtype=np.float32)
+        if b.shape[-1] != self._m:
+            raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
+        if self._row_perm is not None:
+            b = b[..., self._row_perm]  # match the row-nnz-bucketed layout
+        return replace(self._dp, b=jnp.asarray(b, self.dtype))
+
+    def solve(
+        self,
+        b: np.ndarray,
+        tol: float = 1e-6,
+        max_iter: int = 10_000,
+        x0: Optional[np.ndarray] = None,
+        **kw,
+    ) -> SolveResult:
+        """Solve against a new right-hand side (or (S, m) batch)."""
+        dp = self._with_b(b)
+        return solve(
+            dp, method=self.method, line_search=self.line_search,
+            tol=tol, max_iter=max_iter, chunk=self.chunk, dtype=self.dtype,
+            x0=x0, **kw,
+        )
+
+    def warmup(self, num_scenarios: int = 1) -> None:
+        """Compile the solve path for a given batch width before traffic."""
+        shape = (self._m,) if num_scenarios == 1 else (num_scenarios, self._m)
+        self.solve(np.zeros(shape, np.float32), tol=0.0, max_iter=self.chunk)

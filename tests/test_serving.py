@@ -1,0 +1,46 @@
+"""Serving endpoint: fixed A, streaming right-hand sides."""
+import numpy as np
+
+import bsls_tpu as bsls
+from bsls_tpu.models import oracle_solve, synthetic
+from bsls_tpu.serving import Endpoint
+
+
+def test_endpoint_streaming_rhs():
+    prob = synthetic.tiny_dense(seed=3, num_blocks=20, dim=6, m=150)
+    ep = Endpoint(prob, method="apgd", chunk=100)
+    ep.warmup()
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        x_true = synthetic.random_block_x(rng, prob.partition.sizes)
+        b = prob.A.matvec(x_true) + 1e-3 * rng.standard_normal(150)
+        res = ep.solve(b, tol=1e-8, max_iter=3000)
+        single = bsls.Problem(A=prob.A, b=b, partition=prob.partition)
+        orc = oracle_solve(single, tol_gap=1e-9, max_iter=10000)
+        rel = (float(res.objective) - orc.objective) / max(1.0, orc.objective)
+        assert rel <= 1e-5, (trial, rel)
+
+
+def test_endpoint_batch_and_warm_start():
+    prob = synthetic.medium_sparse(seed=2, num_blocks=60, m=400)  # sparse: row-bucketed layout
+    ep = Endpoint(prob, method="pgd", chunk=100)
+    rng = np.random.default_rng(1)
+    B = np.stack([
+        prob.A.matvec(synthetic.random_block_x(rng, prob.partition.sizes))
+        for _ in range(3)
+    ])
+    res = ep.solve(B, tol=1e-7, max_iter=2000)
+    assert res.x.shape == (3, prob.partition.n_flat)
+    # warm start from the previous solution converges immediately
+    res2 = ep.solve(B, tol=1e-7, max_iter=500, x0=res.x)
+    assert np.all(np.asarray(res2.objective) <= np.asarray(res.objective) + 1e-5)
+
+
+def test_endpoint_rejects_bad_shapes():
+    prob = synthetic.tiny_dense(seed=3, num_blocks=5, dim=4, m=30)
+    ep = Endpoint(prob)
+    try:
+        ep.solve(np.zeros(29))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "29" in str(e)
