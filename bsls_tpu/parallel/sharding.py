@@ -190,6 +190,25 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
 # ---------------- sharded driver ----------------
 
 
+def inject_sharded(dp, part, x_user: np.ndarray, mesh):
+    """Inverse of extract_sharded: (S, N) user-flat -> sharded padded bucket
+    arrays (equilibration-scaled), placed with the state's xp sharding."""
+    x_user = np.asarray(x_user, np.float32)
+    if x_user.ndim == 1:
+        x_user = x_user[None, :]
+    S = x_user.shape[0]
+    out = []
+    for b, bk in zip(part.buckets, dp.buckets):
+        radius = np.asarray(bk.radius)
+        arr = np.zeros((S, bk.mask.shape[0], b.width), np.float32)
+        m = b.mask.astype(bool)
+        vals = x_user[:, b.pad_to_flat] * radius[None, :, None]
+        arr[:, m] = vals[:, m]
+        spec = _STATE_SPECS_ROWS["xp"] if dp.row_axis else _STATE_SPECS["xp"]
+        out.append(jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
 def extract_sharded(dp, part, xp) -> np.ndarray:
     """Host-side extraction for the sharded path: (S, N) user-flat solution.
 
@@ -225,6 +244,7 @@ def solve_sharded(
     checkpoint_every: int = 0,
     resume: bool = False,
     shard_rows: bool = False,
+    x0=None,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
@@ -273,6 +293,13 @@ def solve_sharded(
         jax.shard_map(_init, mesh=mesh, in_specs=(dspecs, P()), out_specs=sspecs)
     )
     state = init_fn(dp, L_est)
+    if x0 is not None:
+        # warm start: overwrite the iterate(s); stale residual/momentum
+        # fields are rebuilt by solver.refresh at the next chunk boundary
+        xp0 = inject_sharded(dp, part, x0, mesh)
+        state = state._replace(xp=xp0)
+        if hasattr(state, "yp"):
+            state = state._replace(yp=xp0)
 
     def _chunk(dp_loc, L_loc, st):
         def per_scen(b, s):

@@ -173,21 +173,22 @@ def solve(
     Multi-RHS problems (b of shape (S, m)) are vmapped over scenarios.
     For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
     """
+    if isinstance(problem, Problem) and problem.C is not None:
+        from .eq_constrained import solve_equality_constrained
+
+        return solve_equality_constrained(
+            problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
+            line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
+        )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded
 
         return solve_sharded(
             problem, mesh, method=method, tol=tol, max_iter=max_iter,
             chunk=chunk, line_search=line_search, step_size=step_size, dtype=dtype,
+            x0=x0,
         )
     if isinstance(problem, Problem):
-        if problem.C is not None:
-            from .eq_constrained import solve_equality_constrained
-
-            return solve_equality_constrained(
-                problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
-                line_search=line_search, step_size=step_size, dtype=dtype,
-            )
         dp = L.prepare(problem, dtype=dtype)
     else:
         dp = problem

@@ -45,8 +45,11 @@ def solve_equality_constrained(
     rho_growth: float = 4.0,
     outer_iters: int = 12,
     inner_iters: int = 2000,
+    mesh=None,
 ):
-    """Returns a SolveResult whose ``eq_violation`` records ||Cx-d||_inf."""
+    """Returns a SolveResult whose ``eq_violation`` records the relative
+    ||Cx-d||_inf.  With ``mesh`` the inner solves run mesh-sharded (the
+    stacked [A; sqrt(rho) C] operator shards like any other instance)."""
     from .base import solve
 
     if problem.C is None:
@@ -85,14 +88,24 @@ def solve_equality_constrained(
             partition=problem.partition,
             name=problem.name + "+eq",
         )
-        dp = L.prepare(stacked, dtype=dtype)
-        result = solve(
-            dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
-            line_search=line_search, step_size=step_size, dtype=dtype,
-            x0=None if result is None else result.x,  # warm-start from last outer
-        )
+        x_prev = None if result is None else np.asarray(result.x)
+        if mesh is not None:
+            from ..parallel.sharding import solve_sharded
+
+            result = solve_sharded(
+                stacked, mesh, method=method, tol=tol, max_iter=inner_iters,
+                chunk=chunk, line_search=line_search, step_size=step_size,
+                dtype=dtype, x0=x_prev,
+            )
+        else:
+            dp = L.prepare(stacked, dtype=dtype)
+            result = solve(
+                dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
+                line_search=line_search, step_size=step_size, dtype=dtype,
+                x0=x_prev,  # warm-start from the previous outer iterate
+            )
         total_iters += result.iterations
-        x = np.asarray(result.x, dtype=np.float64)
+        x = np.asarray(result.x, dtype=np.float64).reshape(-1)
         cx_d = C.matvec(x) - d
         # relative violation: ||Cx-d||_inf / max(1, ||d||_inf)
         dref = max(1.0, float(np.abs(d).max())) if p else 1.0

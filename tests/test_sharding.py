@@ -119,3 +119,16 @@ def test_sharded_ragged_blocks(eight_devices):
     np.testing.assert_allclose(res8.x, res1.x, atol=2e-3)
     f_from_x = prob.objective_np(np.asarray(res8.x, np.float64))
     np.testing.assert_allclose(f_from_x, float(np.asarray(res8.objective)), rtol=1e-3)
+
+
+def test_sharded_equality_constrained(eight_devices):
+    """AL outer loop over mesh-sharded inner solves (stacked operator)."""
+    mesh = make_mesh(block=4, scenario=1, devices=eight_devices[:4])
+    prob = synthetic.traffic_like(num_blocks=40, m=200, num_eq=10, noise=0.0)
+    r0 = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=3000, chunk=200)
+    r4 = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=3000, chunk=200, mesh=mesh)
+    assert r4.eq_violation is not None and r4.eq_violation <= 1e-4
+    f0 = prob.objective_np(np.zeros(prob.partition.n_flat))
+    assert float(r4.objective) <= 1e-9 * f0
+    np.testing.assert_allclose(float(r4.objective), float(r0.objective),
+                               rtol=0.5, atol=1e-3)
