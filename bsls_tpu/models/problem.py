@@ -11,7 +11,7 @@ batching and optional linear equality constraints (SURVEY.md §2 #12).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

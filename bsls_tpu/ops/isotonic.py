@@ -18,8 +18,6 @@ peak memory for very large B.  The fused Pallas kernel
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ BASELINE.json:5 "block-local compute with psum/all-reduce collectives").
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Optional, Union
 

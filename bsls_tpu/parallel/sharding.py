@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import replace
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

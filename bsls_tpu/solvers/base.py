@@ -22,7 +22,7 @@ chunk boundary to stop fp drift.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
@@ -32,7 +32,6 @@ import numpy as np
 
 from ..models.problem import Problem
 from ..ops import layout as L
-from ..ops import quadratic as Q
 from ..ops.simplex import block_min
 
 __all__ = ["SolveOptions", "SolveResult", "fw_gap", "power_lipschitz", "solve"]

@@ -20,8 +20,6 @@ iteration identical to the unconstrained hot path.
 """
 from __future__ import annotations
 
-from dataclasses import replace
-
 import jax.numpy as jnp
 import numpy as np
 
