@@ -89,7 +89,21 @@ def tpu_run(prob, scenarios: int) -> dict:
     }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache under .bench/ — repeat runs skip the
+    multi-minute compile when the program is unchanged (best effort; some
+    remote-compile backends ignore it)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     prob = get_problem()
     c = c_baseline(prob)
     # aggregate solver iterations/sec across the scenario batch: the C
