@@ -20,6 +20,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def analyze(config: str, blocks):
+    """Analytic per-iteration communication/compute model for the block-
+    sharded step (the quantity that determines real-pod scaling, since the
+    simulated CPU mesh shares one socket and cannot measure wall-clock
+    efficiency).  Per iteration each device:
+
+      * gathers its shard's nonzeros (the dominant cost on this stack:
+        ~6 ns/row, BASELINE.md) — divides by the shard count;
+      * psums the length-m residual partial over the block axis (the ONE
+        vector collective, 4m bytes in fp32) + 3 scalar psums (line-search
+        numerator/denominator, FW gap) — constant in the shard count.
+
+    Scaling efficiency on a real pod is therefore
+        eff(n) ~ t_gather(1) / (t_gather(1)/n + t_psum(n))
+    with t_psum riding ICI (~100 GB/s/link): 4m bytes ~ tens of us vs
+    gather times in ms — near-linear until n ~ t_gather/t_psum.
+    """
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.models.problem import EllMatrix
+
+    prob = synthetic.make_config(config)
+    m, n = prob.A.shape
+    nnz = prob.A.nnz if isinstance(prob.A, EllMatrix) else m * n
+    gather_rows = 2 * nnz  # A@x gathers x per nnz; A^T r gathers r per nnz
+    t_gather_1 = gather_rows * 6e-9
+    psum_bytes = 4 * m
+    t_psum = max(psum_bytes / 100e9, 2e-6)  # ICI bandwidth + latency floor
+    rows = []
+    for nb in blocks:
+        t_n = t_gather_1 / nb + t_psum
+        row = {
+            "mesh_block": nb, "gather_rows_per_dev": gather_rows // nb,
+            "psum_bytes": psum_bytes,
+            "modeled_iters_per_sec": round(1.0 / t_n, 1),
+            "modeled_efficiency": round(t_gather_1 / (nb * t_n), 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="medium")
@@ -28,7 +69,12 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=300)
     p.add_argument("--chunk", type=int, default=100)
     p.add_argument("--platform", default=None)
+    p.add_argument("--analyze", action="store_true",
+                   help="print the analytic comm/compute scaling model only")
     args = p.parse_args(argv)
+
+    if args.analyze:
+        return analyze(args.config, args.blocks)
 
     if args.platform == "cpu8":
         os.environ["XLA_FLAGS"] = (

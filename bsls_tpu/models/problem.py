@@ -75,19 +75,20 @@ class EllMatrix:
 
     @staticmethod
     def from_scipy(A) -> "EllMatrix":
+        # vectorised (no per-column Python loop): the .mat ingestion path
+        # must handle multi-million-column instances in seconds
         import scipy.sparse as sp
 
         A = sp.csc_matrix(A)
         m, n = A.shape
         counts = np.diff(A.indptr)
-        k = max(int(counts.max()), 1)
+        k = max(int(counts.max()) if n else 1, 1)
         rows = np.zeros((n, k), dtype=np.int32)
         vals = np.zeros((n, k), dtype=A.dtype)
-        for j in range(n):
-            lo, hi = A.indptr[j], A.indptr[j + 1]
-            c = hi - lo
-            rows[j, :c] = A.indices[lo:hi]
-            vals[j, :c] = A.data[lo:hi]
+        col_id = np.repeat(np.arange(n), counts)
+        pos = np.arange(A.indices.size) - np.repeat(A.indptr[:-1], counts)
+        rows[col_id, pos] = A.indices
+        vals[col_id, pos] = A.data
         return EllMatrix(rows=rows, vals=vals, num_rows=m)
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
@@ -211,10 +212,14 @@ class Problem:
 
     # ---- host-side objective helpers (float64, for oracles/tests) ----
 
-    def objective_np(self, x_flat: np.ndarray) -> float:
-        r = self.A.matvec(np.asarray(x_flat, dtype=np.float64)) - np.asarray(
-            self.b, dtype=np.float64
-        )
+    def objective_np(self, x_flat: np.ndarray):
+        """0.5||Ax-b||^2 in float64; (S, N) x against (S, m) b returns (S,)."""
+        x = np.asarray(x_flat, dtype=np.float64)
+        b = np.asarray(self.b, dtype=np.float64)
+        if x.ndim == 2:
+            r = np.stack([self.A.matvec(x[s]) for s in range(x.shape[0])]) - b
+            return 0.5 * np.sum(r * r, axis=-1)
+        r = self.A.matvec(x) - b
         return 0.5 * float(r @ r)
 
     def gradient_np(self, x_flat: np.ndarray) -> np.ndarray:

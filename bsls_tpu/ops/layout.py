@@ -79,19 +79,30 @@ class DeviceEll:
     (b permuted to match — the row order of a least-squares system is
     arbitrary) and grouped into power-of-two widths; mv_cols/mv_vals are
     then TUPLES of (m_k, w_k) arrays whose partial results concatenate
-    contiguously.  Sharded instances (shard_map slices by leading axis)
-    keep the single (n_shards, m, kr) layout.  A pathological kr >
+    contiguously.  Column-sharded instances (shard_map slices by leading
+    axis) keep the single (n_shards, m, kr) layout.  A pathological kr >
     ROW_ELL_MAX_K drops the row copy (None) -> segment_sum fallback.
+
+    Row-sharded instances (``row_sharded=True``, the tall-A / SP-analog:
+    SURVEY.md §2b) re-encode BOTH orientations per row shard at prepare
+    time:
+      rows/vals: (nr, n_pf, ks) with LOCAL row ids — each shard's slice
+                 gathers from its local r segment; A^T r partials psum
+                 over the row axis.
+      mv_cols/mv_vals: (nr, m_loc, kr) with global PF column indices — x
+                 is replicated, so A @ x is shard-local and r never needs
+                 a collective.
     """
 
-    rows: jnp.ndarray  # (n_pf, k) int32  — column-oriented (for A^T r)
+    rows: jnp.ndarray  # (n_pf, k) int32 — column-oriented (for A^T r)
     vals: jnp.ndarray  # (n_pf, k)
     mv_cols: Optional[object]  # tuple[(m_k, w_k)] or (n_shards, m, kr) int32
     mv_vals: Optional[object]  # matching values
     num_rows: int  # static
+    row_sharded: bool = False  # static: leading axis of ALL arrays is a row shard
 
 
-_register(DeviceEll, ["rows", "vals", "mv_cols", "mv_vals"], ["num_rows"])
+_register(DeviceEll, ["rows", "vals", "mv_cols", "mv_vals"], ["num_rows", "row_sharded"])
 
 ROW_ELL_MAX_K = 512
 
@@ -239,7 +250,7 @@ def _build_row_ell_bucketed(rows_pf, vals_pf, num_rows: int):
             prev_w = w
             continue
         cols_k = np.zeros((m_k, w), np.int32)
-        vals_k = np.zeros((m_k, w), np.float32)
+        vals_k = np.zeros((m_k, w), vals_pf.dtype)
         sel = (r_s >= lo) & (r_s < hi)
         cols_k[r_s[sel] - lo, pos[sel]] = p_s[sel]
         vals_k[r_s[sel] - lo, pos[sel]] = v_s[sel]
@@ -264,7 +275,7 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     if not nz.any():
         return (
             np.zeros((n_shards, num_rows, 1), np.int32),
-            np.zeros((n_shards, num_rows, 1), np.float32),
+            np.zeros((n_shards, num_rows, 1), vals_pf.dtype),
         )
     pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz]
     r = rows_pf[nz].astype(np.int64)
@@ -281,7 +292,7 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     if kr > ROW_ELL_MAX_K:
         return None, None
     mv_cols = np.zeros((n_shards, num_rows, kr), np.int32)
-    mv_vals = np.zeros((n_shards, num_rows, kr), np.float32)
+    mv_vals = np.zeros((n_shards, num_rows, kr), vals_pf.dtype)
     sh = (key_s // num_rows).astype(np.int32)
     rw = (key_s % num_rows).astype(np.int32)
     mv_cols[sh, rw, pos] = local_s
@@ -289,9 +300,50 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     return mv_cols, mv_vals
 
 
+def _build_ell_row_sharded(rows_pf, vals_pf, num_rows: int, nr: int):
+    """Re-encode a PF column-ELL into ``nr`` row shards (both orientations).
+
+    rows_pf/vals_pf: (n_pf, k), zeros on padding; ``num_rows`` must divide
+    ``nr`` (caller pads).  Returns (rows3, vals3, mv_cols3, mv_vals3):
+
+      rows3/vals3:     (nr, n_pf, ks) — per-shard column-ELL, LOCAL row ids
+      mv_cols3/mv_vals3: (nr, m_loc, kr) — per-shard row-ELL, global PF cols
+    """
+    n_pf, k = rows_pf.shape
+    assert num_rows % nr == 0
+    m_loc = num_rows // nr
+    nz = vals_pf != 0
+    pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz].astype(np.int64)
+    r = rows_pf[nz].astype(np.int64)
+    v = vals_pf[nz]
+    shard = r // m_loc
+    local_r = (r % m_loc).astype(np.int32)
+
+    def ell_by(group_key, dim1, idx_b, payload_idx, payload_val):
+        order = np.argsort(group_key, kind="stable")
+        key_s = group_key[order]
+        first = np.searchsorted(key_s, key_s)
+        pos = np.arange(key_s.size) - first
+        width = int(pos.max()) + 1 if key_s.size else 1
+        cols = np.zeros((nr, dim1, width), np.int32)
+        vals = np.zeros((nr, dim1, width), vals_pf.dtype)
+        cols[shard[order], idx_b[order], pos] = payload_idx[order]
+        vals[shard[order], idx_b[order], pos] = payload_val[order]
+        return cols, vals
+
+    # column orientation per shard: group by (shard, pf column)
+    rows3, vals3 = ell_by(shard * n_pf + pf_pos, n_pf, pf_pos, local_r, v)
+    # row orientation per shard: group by (shard, local row)
+    mv_cols3, mv_vals3 = ell_by(
+        shard * m_loc + local_r, m_loc, local_r.astype(np.int64),
+        pf_pos.astype(np.int32), v
+    )
+    return rows3, vals3, mv_cols3, mv_vals3
+
+
 def to_device_matrix(
     M, perm: np.ndarray, dtype=jnp.float32, col_scale=None, n_shards: int = 1,
-    row_bucket: bool = False, _out: Optional[dict] = None,
+    row_bucket: bool = False, row_shards: int = 1, _out: Optional[dict] = None,
 ) -> "DeviceMatrix":
     """Move a host matrix to device with PF column permutation/padding.
 
@@ -299,19 +351,39 @@ def to_device_matrix(
     ``row_bucket=True`` (unsharded EllMatrix only) permutes rows by nnz
     count into power-of-two width groups — the caller must permute b with
     the ``row_perm`` stashed into ``_out``."""
+    # host staging buffers match the requested device precision: staging
+    # through float32 would silently quantize a float64 prepare()
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    if np_dtype.kind != "f":
+        np_dtype = np.dtype(np.float32)
     sel = perm >= 0
     cs = None if col_scale is None else np.asarray(col_scale)[perm[sel]]
     if isinstance(M, DenseMatrix):
-        data = np.zeros((M.shape[0], perm.size), dtype=np.float32)
+        data = np.zeros((M.shape[0], perm.size), dtype=np_dtype)
         cols = np.asarray(M.data)[:, perm[sel]]
         data[:, sel] = cols if cs is None else cols / cs
         return DeviceDense(data=jnp.asarray(data, dtype=dtype))
     if isinstance(M, EllMatrix):
         rows = np.zeros((perm.size, M.k), dtype=np.int32)
-        vals = np.zeros((perm.size, M.k), dtype=np.float32)
+        vals = np.zeros((perm.size, M.k), dtype=np_dtype)
         rows[sel] = np.asarray(M.rows)[perm[sel]]
         v = np.asarray(M.vals)[perm[sel]]
         vals[sel] = v if cs is None else v / cs[:, None]
+        if row_shards > 1:
+            if M.num_rows % row_shards:
+                raise ValueError(
+                    f"num_rows={M.num_rows} not divisible by row_shards="
+                    f"{row_shards}; pad the instance rows first"
+                )
+            r3, v3, mc3, mv3 = _build_ell_row_sharded(rows, vals, M.num_rows, row_shards)
+            return DeviceEll(
+                rows=jnp.asarray(r3),
+                vals=jnp.asarray(v3, dtype=dtype),
+                mv_cols=jnp.asarray(mc3),
+                mv_vals=jnp.asarray(mv3, dtype=dtype),
+                num_rows=M.num_rows,
+                row_sharded=True,
+            )
         if row_bucket:
             row_perm, mvc, mvv = _build_row_ell_bucketed(rows, vals, M.num_rows)
             if row_perm is not None:
@@ -387,6 +459,7 @@ def prepare(
     col_axis: Optional[str] = None,
     row_axis: Optional[str] = None,
     equilibrate: bool = True,
+    row_shards: int = 1,
     reduce_axis: Optional[str] = None,  # deprecated alias for col_axis
 ) -> DeviceProblem:
     """Move a host Problem into the device-side PF layout.
@@ -424,7 +497,8 @@ def prepare(
     )
     out_info: dict = {}
     A = to_device_matrix(
-        problem.A, perm, dtype, col_scale, n_shards, row_bucket=row_bucket, _out=out_info
+        problem.A, perm, dtype, col_scale, n_shards, row_bucket=row_bucket,
+        row_shards=row_shards, _out=out_info,
     )
     b = np.asarray(problem.b)
     if "row_perm" in out_info:
@@ -537,6 +611,14 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         return A.data @ x
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
+    if A.row_sharded:
+        # x replicated; each shard produces its own local row segment.  A
+        # global (nr>1) view concatenates the segments (full-m result).
+        nr = A.mv_cols.shape[0]
+        if nr == 1:
+            return gather_dot(A.mv_vals[0], A.mv_cols[0], x)
+        parts = [gather_dot(A.mv_vals[s], A.mv_cols[s], x) for s in range(nr)]
+        return jnp.concatenate(parts)
     if isinstance(A.mv_cols, tuple):
         # row-nnz-bucketed: per-width partials concatenate contiguously in
         # the (nnz-sorted) permuted row order — no scatter, minimal rows
@@ -559,11 +641,23 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
-    """A^T @ r -> PF flat (always shard-local: r is replicated)."""
+    """A^T @ r -> PF flat.  Column-sharded: r replicated, result local.
+    Row-sharded: r is this shard's local segment; the partial A_s^T r_s
+    psums over the row axis (rmatvec_ps)."""
     if isinstance(A, DeviceDense):
         return A.data.T @ r
     if isinstance(A, DeviceVStack):
         return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
+    if A.row_sharded:
+        nr = A.rows.shape[0]
+        if nr == 1:
+            return gather_dot(A.vals[0], A.rows[0], r)
+        # global view: r is the full (m,) vector; sum per-shard partials
+        m_loc = r.shape[-1] // nr
+        rs = r.reshape(*r.shape[:-1], nr, m_loc)
+        return sum(
+            gather_dot(A.vals[s], A.rows[s], rs[..., s, :]) for s in range(nr)
+        )
     return gather_dot(A.vals, A.rows, r)
 
 

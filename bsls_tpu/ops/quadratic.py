@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .layout import DeviceProblem, matvec_ps, rdot, rmatvec_ps
+import jax
+
+from .layout import (
+    DeviceDense, DeviceEll, DeviceProblem, DeviceVStack, flat_to_padded,
+    matvec_ps, rdot, rmatvec_ps,
+)
 
 __all__ = [
     "residual",
@@ -18,7 +23,31 @@ __all__ = [
     "grad_flat",
     "exact_step",
     "bb_step",
+    "diag_quad",
 ]
+
+
+def _diag_flat(A) -> jnp.ndarray:
+    if isinstance(A, DeviceDense):
+        return jnp.sum(A.data * A.data, axis=0)
+    if isinstance(A, DeviceEll):
+        if A.row_sharded:  # (nr, n_pf, ks): per-shard partials (psum'd by caller)
+            return jnp.sum(A.vals * A.vals, axis=(0, -1))
+        return jnp.sum(A.vals * A.vals, axis=-1)
+    if isinstance(A, DeviceVStack):
+        return _diag_flat(A.top) + A.bottom_scale**2 * _diag_flat(A.bottom)
+    raise TypeError(f"unsupported device matrix {type(A)}")
+
+
+def diag_quad(dp: DeviceProblem) -> tuple:
+    """diag(A^T A) as padded buckets (squared column norms in the PF layout;
+    the per-block diagonal curvature used to size pairwise-FW transfers).
+    Column entries are column-local under column sharding; under row
+    sharding the per-row partials psum."""
+    d = _diag_flat(dp.A)
+    if dp.row_axis:
+        d = jax.lax.psum(d, dp.row_axis)
+    return flat_to_padded(dp, d)
 
 
 def residual(dp: DeviceProblem, x_flat: jnp.ndarray, b=None) -> jnp.ndarray:

@@ -47,23 +47,30 @@ _LEAF_SPECS = {
     "perm": P(BLOCK_AXIS),
 }
 
-_STATE_SPECS = {
-    "r": P(SCENARIO_AXIS, None),
-    "ry": P(SCENARIO_AXIS, None),
-    "f": P(SCENARIO_AXIS),
-    "gap": P(SCENARIO_AXIS),
-    "k": P(SCENARIO_AXIS),
-    "t_mom": P(SCENARIO_AXIS),
-    "x_prev": P(SCENARIO_AXIS, BLOCK_AXIS),
-    "g_prev": P(SCENARIO_AXIS, BLOCK_AXIS),
-    "xp": P(SCENARIO_AXIS, BLOCK_AXIS, None),
-    "yp": P(SCENARIO_AXIS, BLOCK_AXIS, None),
+# solver-state kinds (the state-class SHARD_KINDS protocol) -> specs.
+# Column(block)-sharded mode: x lives by block, r replicated; row-sharded
+# mode: x replicated, r by row shard.  A leading scenario axis always.
+_KIND_SPECS = {
+    "x": P(SCENARIO_AXIS, BLOCK_AXIS, None),  # padded bucket (S, Bk, w)
+    "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),  # PF flat (S, n_pf)
+    "r": P(SCENARIO_AXIS, None),  # residual-space (S, m)
+    "scalar": P(SCENARIO_AXIS),  # per-scenario scalar
+}
+_KIND_SPECS_ROWS = {
+    "x": P(SCENARIO_AXIS, None, None),
+    "xflat": P(SCENARIO_AXIS, None),
+    "r": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "scalar": P(SCENARIO_AXIS),
 }
 
 # row sharding (the SP/CP analog for very tall A, SURVEY.md §2b): A rows +
 # r by shard, x replicated; A^T r and r-space dots psum over the axis
 _LEAF_SPECS_ROWS = {
     "data": P(BLOCK_AXIS, None),  # dense A rows
+    "rows": P(BLOCK_AXIS, None, None),  # ELL re-encoded per row shard
+    "vals": P(BLOCK_AXIS, None, None),
+    "mv_cols": P(BLOCK_AXIS, None, None),
+    "mv_vals": P(BLOCK_AXIS, None, None),
     "bottom_scale": P(),
     "mask": P(None, None),
     "sizes": P(None),
@@ -71,20 +78,6 @@ _LEAF_SPECS_ROWS = {
     "b": P(SCENARIO_AXIS, BLOCK_AXIS),
     "perm": P(None),
 }
-
-_STATE_SPECS_ROWS = {
-    "r": P(SCENARIO_AXIS, BLOCK_AXIS),
-    "ry": P(SCENARIO_AXIS, BLOCK_AXIS),
-    "f": P(SCENARIO_AXIS),
-    "gap": P(SCENARIO_AXIS),
-    "k": P(SCENARIO_AXIS),
-    "t_mom": P(SCENARIO_AXIS),
-    "x_prev": P(SCENARIO_AXIS, None),
-    "g_prev": P(SCENARIO_AXIS, None),
-    "xp": P(SCENARIO_AXIS, None, None),
-    "yp": P(SCENARIO_AXIS, None, None),
-}
-
 
 def _path_name(path) -> str:
     for entry in reversed(path):
@@ -109,16 +102,35 @@ def dp_specs(dp: L.DeviceProblem, rows: bool = False):
 
 
 def state_specs(state, rows: bool = False):
-    """PartitionSpec pytree for a solver state (leading scenario axis)."""
-    table = _STATE_SPECS_ROWS if rows else _STATE_SPECS
+    """PartitionSpec pytree for a solver state (leading scenario axis).
 
-    def spec_for(path, leaf):
-        name = _path_name(path)
-        if name in table:
-            return table[name]
-        raise ValueError(f"no sharding rule for state leaf {path} (name={name!r})")
-
-    return jax.tree_util.tree_map_with_path(spec_for, state)
+    Specs derive from the state class's ``SHARD_KINDS`` protocol — a dict
+    mapping each field to one of "x" (padded buckets, block-sharded),
+    "xflat" (PF flat), "r" (residual-space) or "scalar" — so new solvers
+    declare their own sharding next to their state instead of editing this
+    module.  ``state`` may be the concrete state or an eval_shape struct
+    with the same type.
+    """
+    kinds = getattr(type(state), "SHARD_KINDS", None)
+    if kinds is None:
+        raise TypeError(
+            f"{type(state).__name__} has no SHARD_KINDS: solver states must "
+            "declare a field->kind dict (kinds: x, xflat, r, scalar) to run "
+            "under a mesh"
+        )
+    table = _KIND_SPECS_ROWS if rows else _KIND_SPECS
+    specs = {}
+    for fname, val in state._asdict().items():
+        if fname not in kinds:
+            raise ValueError(
+                f"{type(state).__name__}.SHARD_KINDS is missing field {fname!r}"
+            )
+        kind = kinds[fname]
+        if kind not in table:
+            raise ValueError(f"unknown shard kind {kind!r} for field {fname!r}")
+        spec = table[kind]
+        specs[fname] = jax.tree_util.tree_map(lambda _: spec, val)
+    return type(state)(**specs)
 
 
 # ---------------- problem sharding ----------------
@@ -155,14 +167,14 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
 
 def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
     """Row-sharded preparation (tall-A / SP-analog): A's ROWS and r are
-    sharded over the block axis, x is replicated.  Dense A only (a
-    row-sharded dual-ELL needs per-shard re-encoding — future work).
-    Rows are zero-padded so the axis divides m (zero rows contribute
-    nothing to a least-squares residual)."""
-    from ..models.problem import DenseMatrix
+    sharded over the block axis, x is replicated.  Dense A shards by row
+    slicing; ELL A is re-encoded per shard in both orientations
+    (L._build_ell_row_sharded) with local row ids, so each device gathers
+    only from its own r segment and A^T r partials psum.  Rows are
+    zero-padded so the axis divides m (zero rows contribute nothing to a
+    least-squares residual)."""
+    from ..models.problem import DenseMatrix, EllMatrix
 
-    if not isinstance(problem.A, DenseMatrix):
-        raise NotImplementedError("row sharding currently supports dense A")
     nr = mesh.shape[BLOCK_AXIS]
     ns = mesh.shape[SCENARIO_AXIS]
     b = np.asarray(problem.b)
@@ -172,12 +184,27 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
         raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
     m = problem.A.shape[0]
     pad = (-m) % nr
-    A = problem.A.data
+    row_shards = 1
+    if isinstance(problem.A, DenseMatrix):
+        A = problem.A.data
+        if pad:
+            A = np.concatenate([A, np.zeros((pad, A.shape[1]), A.dtype)], axis=0)
+        A = DenseMatrix(A)
+    elif isinstance(problem.A, EllMatrix):
+        A = problem.A
+        if pad:
+            A = EllMatrix(rows=A.rows, vals=A.vals, num_rows=m + pad)
+        row_shards = nr
+    else:
+        raise NotImplementedError(
+            f"row sharding supports dense and ELL A, got {type(problem.A)}"
+        )
     if pad:
-        A = np.concatenate([A, np.zeros((pad, A.shape[1]), A.dtype)], axis=0)
         b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)], axis=1)
-    problem = replace(problem, A=DenseMatrix(A), b=b)
-    dp = L.prepare(problem, dtype=dtype, n_shards=1, row_axis=BLOCK_AXIS)
+    problem = replace(problem, A=A, b=b)
+    dp = L.prepare(
+        problem, dtype=dtype, n_shards=1, row_axis=BLOCK_AXIS, row_shards=row_shards
+    )
     specs = dp_specs(dp, rows=True)
     dp = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
@@ -202,7 +229,7 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
         m = b.mask.astype(bool)
         vals = x_user[:, b.pad_to_flat] * radius[None, :, None]
         arr[:, m] = vals[:, m]
-        spec = _STATE_SPECS_ROWS["xp"] if dp.row_axis else _STATE_SPECS["xp"]
+        spec = _KIND_SPECS_ROWS["x"] if dp.row_axis else _KIND_SPECS["x"]
         out.append(jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec)))
     return tuple(out)
 
@@ -240,9 +267,11 @@ def solve_sharded(
     metrics=None,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    checkpoint_keep: int = 0,
     resume: bool = False,
     shard_rows: bool = False,
     x0=None,
+    stop_rule: str = "auto",
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
@@ -250,10 +279,17 @@ def solve_sharded(
     ``shard_rows=True`` shards A's ROWS over the block axis instead of its
     columns (the tall-A / sequence-parallel analog, dense A only): the
     residual is row-local, A^T r and r-space inner products psum."""
-    from ..solvers.base import SolveOptions, SolveResult, _get_solver, power_lipschitz
+    from ..solvers.base import (
+        SolveOptions, SolveResult, StopTracker, _get_solver, power_lipschitz,
+    )
 
     if isinstance(problem, Problem) and problem.C is not None:
-        raise NotImplementedError("sharded equality-constrained solve: wrap with AL manually")
+        from ..solvers.eq_constrained import solve_equality_constrained
+
+        return solve_equality_constrained(
+            problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
+            line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
+        )
 
     single_rhs = np.asarray(problem.b).ndim == 1
     if shard_rows:
@@ -320,6 +356,8 @@ def solve_sharded(
             out_specs=(sspecs, trace_spec),
         )
     )
+    # AOT-compile so chunk_times[0] measures execution, not XLA compile
+    chunk_fn = chunk_fn.lower(dp, L_est, state).compile()
 
     it = 0
     if resume and checkpoint_path:
@@ -329,9 +367,15 @@ def solve_sharded(
         if ck:
             state, meta = load_state(ck, state)
             it = int(meta.get("iteration", 0))
+            # restore the mesh shardings the compiled chunk expects
+            state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+                state, sspecs,
+            )
 
     traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
+    stopper = StopTracker(tol, stop_rule)
     chunks_done = 0
     t0 = time.perf_counter()
     while it < max_iter:
@@ -354,16 +398,16 @@ def solve_sharded(
         if checkpoint_path and checkpoint_every and chunks_done % checkpoint_every == 0:
             from ..utils.checkpoint import save_state
 
-            save_state(checkpoint_path, state, meta={"iteration": it})
+            save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
         if verbose:
             print(f"[sharded] iter {it}: f={f_last} relgap={rel}")
-        if np.all(rel <= tol):
+        if stopper.update(f_last, rel):
             converged = True
             break
     if checkpoint_path and checkpoint_every:
         from ..utils.checkpoint import save_state
 
-        save_state(checkpoint_path, state, meta={"iteration": it})
+        save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
 
     # host-side extraction (global arrays gather transparently)
     from ..ops.projection import proj_blocks
@@ -387,4 +431,5 @@ def solve_sharded(
         trace_gap=np.concatenate(traces_g, axis=1),
         chunk_times=np.asarray(ctimes),
         chunk_iters=np.asarray(citers),
+        stop_reason=stopper.reason,
     )

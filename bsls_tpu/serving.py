@@ -41,19 +41,24 @@ class Endpoint:
         dtype=jnp.float32,
         equilibrate: bool = True,
     ):
-        if problem.C is not None:
-            raise NotImplementedError(
-                "serving endpoint for equality-constrained instances: wrap the "
-                "augmented-Lagrangian loop around a plain endpoint"
-            )
         self.method = method
         self.line_search = line_search
         self.chunk = chunk
         self.dtype = dtype
-        self._dp = L.prepare(problem, dtype=dtype, equilibrate=equilibrate)
-        self._row_perm = (
-            None if self._dp.row_perm is None else np.asarray(self._dp.row_perm)
-        )
+        self._problem = problem
+        self._eq = problem.C is not None
+        if self._eq:
+            # equality-constrained: the augmented-Lagrangian outer loop
+            # rebuilds the stacked operator per outer iteration, so the
+            # endpoint holds the host problem; inner chunk executables are
+            # shape-stable across requests and reuse the jit cache
+            self._dp = None
+            self._row_perm = None
+        else:
+            self._dp = L.prepare(problem, dtype=dtype, equilibrate=equilibrate)
+            self._row_perm = (
+                None if self._dp.row_perm is None else np.asarray(self._dp.row_perm)
+            )
         self._m = problem.A.shape[0]
 
     @property
@@ -77,6 +82,20 @@ class Endpoint:
         **kw,
     ) -> SolveResult:
         """Solve against a new right-hand side (or (S, m) batch)."""
+        if self._eq:
+            from dataclasses import replace as dc_replace
+
+            from .solvers.eq_constrained import solve_equality_constrained
+
+            b = np.asarray(b, dtype=np.float32)
+            if b.shape[-1] != self._m:
+                raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
+            prob = dc_replace(self._problem, b=b)
+            return solve_equality_constrained(
+                prob, method=self.method, tol=tol, max_iter=max_iter,
+                chunk=self.chunk, line_search=self.line_search,
+                dtype=self.dtype, **kw,
+            )
         dp = self._with_b(b)
         return solve(
             dp, method=self.method, line_search=self.line_search,
@@ -87,4 +106,8 @@ class Endpoint:
     def warmup(self, num_scenarios: int = 1) -> None:
         """Compile the solve path for a given batch width before traffic."""
         shape = (self._m,) if num_scenarios == 1 else (num_scenarios, self._m)
-        self.solve(np.zeros(shape, np.float32), tol=0.0, max_iter=self.chunk)
+        if self._eq:
+            self.solve(np.zeros(shape, np.float32), tol=0.0, max_iter=self.chunk,
+                       outer_iters=1, inner_iters=self.chunk)
+        else:
+            self.solve(np.zeros(shape, np.float32), tol=0.0, max_iter=self.chunk)

@@ -32,7 +32,23 @@ class APGDState(NamedTuple):
     t_mom: jnp.ndarray  # momentum parameter
 
 
+# sharding protocol (parallel.sharding.state_specs): field -> kind
+APGDState.SHARD_KINDS = {
+    "xp": "x", "yp": "x", "r": "r", "ry": "r",
+    "f": "scalar", "gap": "scalar", "k": "scalar", "t_mom": "scalar",
+}
+
+
 def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> APGDState:
+    # APGD steps with the fixed 1/L (or opts.step_size) FISTA step; the PGD
+    # line-search modes would silently not apply, so reject them up front
+    if opts.line_search in ("bb", "pava"):
+        raise ValueError(
+            f"method 'apgd' does not support line_search={opts.line_search!r}; "
+            "use 'exact'/'fixed' (both mean the FISTA 1/L step) or method 'pgd'"
+        )
+    if opts.space != "x":
+        raise ValueError("method 'apgd' supports space='x' only")
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     r = Q.residual(dp, L.padded_to_flat(dp, xp))
     f = Q.objective_from_residual(dp, r)

@@ -70,6 +70,7 @@ class SolveResult:
     chunk_times: np.ndarray  # wall seconds per chunk
     chunk_iters: np.ndarray  # cumulative iteration count per chunk boundary
     eq_violation: Optional[float] = None  # ||Cx-d||_inf (equality-constrained)
+    stop_reason: str = "max_iter"  # "gap" | "stall" | "gap/stall" | "max_iter"
 
     def time_to_gap(self, f_star: float, rel: float = 1e-6) -> float | None:
         """Wall seconds until f <= f* + rel*max(1,|f*|), from the chunk trace."""
@@ -83,6 +84,58 @@ class SolveResult:
         cum_t = np.concatenate([[0.0], np.cumsum(self.chunk_times)])
         cum_i = np.concatenate([[0], self.chunk_iters])
         return float(np.interp(it, cum_i, cum_t))
+
+
+class StopTracker:
+    """Per-chunk convergence decision shared by the solve drivers.
+
+    A scenario counts as converged when either
+      * its relative FW gap is <= tol  (sound optimality certificate), or
+      * (stop_rule "stall"/"auto") its objective decreased by less than
+        ``stall_frac * tol * max(1, |f|)`` over each of ``patience``
+        consecutive chunks — the practical criterion: the FW-gap
+        certificate is loose on ill-conditioned instances (it stalls ~1e1
+        while the objective sits at 1e-6 of f*, see BASELINE.md), so
+        gap-only stopping would always exhaust max_iter there.
+    ``stop_rule="gap"`` restores certificate-only stopping.
+    """
+
+    def __init__(self, tol: float, stop_rule: str = "auto", patience: int = 2,
+                 stall_frac: float = 0.1):
+        if stop_rule not in ("gap", "stall", "auto"):
+            raise ValueError(f"unknown stop_rule {stop_rule!r}")
+        self.tol = tol
+        # tol<=0 means "run the full budget": stall detection would trigger
+        # spuriously at the fp floor, so fall back to the (unreachable) gap rule
+        self.rule = stop_rule if tol > 0 else "gap"
+        self.patience = patience
+        self.thresh = stall_frac * tol
+        self._f_prev = None
+        self._stall = None
+        self.reason = "max_iter"
+
+    def update(self, f_last: np.ndarray, rel_gap: np.ndarray) -> bool:
+        f_last = np.atleast_1d(np.asarray(f_last, np.float64))
+        rel_gap = np.atleast_1d(np.asarray(rel_gap, np.float64))
+        gap_ok = rel_gap <= self.tol
+        if self._stall is None:
+            self._stall = np.zeros(f_last.shape, np.int64)
+        if self._f_prev is not None:
+            df = (self._f_prev - f_last) / np.maximum(1.0, np.abs(f_last))
+            self._stall = np.where(df <= self.thresh, self._stall + 1, 0)
+        self._f_prev = f_last
+        stalled = self._stall >= self.patience
+        if self.rule == "gap":
+            done = gap_ok
+        elif self.rule == "stall":
+            done = stalled
+        else:
+            done = gap_ok | stalled
+        if bool(np.all(done)):
+            by_gap, by_stall = bool(np.all(gap_ok)), bool(np.all(stalled))
+            self.reason = "gap" if by_gap else ("stall" if by_stall else "gap/stall")
+            return True
+        return False
 
 
 def fw_gap(dp, g_flat: jnp.ndarray, x_flat: jnp.ndarray, gp) -> jnp.ndarray:
@@ -129,6 +182,9 @@ def _get_solver(method: str):
         "mirror_descent": mirror_descent,
         "frank_wolfe": frank_wolfe,
         "fw": frank_wolfe,
+        "afw": frank_wolfe,
+        "pairwise": frank_wolfe,
+        "pairwise_fw": frank_wolfe,
     }
     if method not in table:
         raise KeyError(f"unknown method {method!r}; options: {sorted(table)}")
@@ -148,6 +204,14 @@ def _run_chunk(dp, state, L_est, opts: SolveOptions, solver_name: str, steps: in
     return state, trace
 
 
+@partial(jax.jit, static_argnames=("opts", "solver_name", "steps"))
+def _run_chunk_multi(dp, state, L_est, opts: SolveOptions, solver_name: str, steps: int):
+    """Scenario-vmapped chunk (b of shape (S, m), state leaves lead with S)."""
+    return jax.vmap(
+        lambda b, st: _run_chunk(replace(dp, b=b), st, L_est, opts, solver_name, steps)
+    )(dp.b, state)
+
+
 def solve(
     problem: Problem | L.DeviceProblem,
     method: str = "pgd",
@@ -164,8 +228,10 @@ def solve(
     x0: Optional[np.ndarray] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    checkpoint_keep: int = 0,
     resume: bool = False,
     metrics=None,
+    stop_rule: str = "auto",
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
@@ -182,10 +248,16 @@ def solve(
     if mesh is not None:
         from ..parallel.sharding import solve_sharded
 
+        if callback is not None:
+            raise ValueError("callback is not supported for mesh-sharded solves")
+        if space != "x":
+            raise ValueError("mesh-sharded solves support space='x' only")
         return solve_sharded(
             problem, mesh, method=method, tol=tol, max_iter=max_iter,
             chunk=chunk, line_search=line_search, step_size=step_size, dtype=dtype,
-            x0=x0,
+            x0=x0, verbose=verbose, metrics=metrics,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep, resume=resume, stop_rule=stop_rule,
         )
     if isinstance(problem, Problem):
         dp = L.prepare(problem, dtype=dtype)
@@ -217,14 +289,15 @@ def solve(
             state = jax.vmap(
                 lambda b, xx: solver.init(replace(dp, b=b), L_est, opts, xp0=xx)
             )(dp.b, xp0)
-        chunk_fn = jax.vmap(
-            lambda b, st: _run_chunk(replace(dp, b=b), st, L_est, opts, method, chunk),
-            in_axes=(0, 0),
-        )
-        run = lambda st: chunk_fn(dp.b, st)
+        runner = _run_chunk_multi
     else:
         state = solver.init(dp, L_est, opts, xp0=xp0)
-        run = lambda st: _run_chunk(dp, st, L_est, opts, method, chunk)
+        runner = _run_chunk
+
+    # AOT-compile the chunk executable so XLA compile time never lands in
+    # chunk_times[0] (time_to_gap interpolates over the wall trace)
+    compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
+    run = lambda st: compiled(dp, st, L_est)
 
     it = 0
     if resume and checkpoint_path:
@@ -237,8 +310,9 @@ def solve(
 
     traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
+    stopper = StopTracker(tol, stop_rule)
     chunks_done = 0
-    # warm-up compile outside the timed region
+    # chunk executable AOT-compiled above: compile is outside the timed region
     t0 = time.perf_counter()
     while it < max_iter:
         state, (tf, tg) = run(state)
@@ -262,18 +336,18 @@ def solve(
         if checkpoint_path and checkpoint_every and chunks_done % checkpoint_every == 0:
             from ..utils.checkpoint import save_state
 
-            save_state(checkpoint_path, state, meta={"iteration": it})
+            save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
         if callback is not None:
             callback(it, state)
         if verbose:
             print(f"iter {it}: f={f_last} relgap={rel}")
-        if np.all(rel <= tol):
+        if stopper.update(f_last, rel):
             converged = True
             break
     if checkpoint_path and checkpoint_every:
         from ..utils.checkpoint import save_state
 
-        save_state(checkpoint_path, state, meta={"iteration": it})
+        save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
 
     axis = 1 if multi else 0
     if not traces_f:  # resumed past max_iter: nothing ran this call
@@ -302,4 +376,5 @@ def solve(
         trace_gap=trace_gap,
         chunk_times=np.asarray(ctimes),
         chunk_iters=np.asarray(citers),
+        stop_reason=stopper.reason,
     )

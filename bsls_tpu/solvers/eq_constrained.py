@@ -13,6 +13,14 @@ the penalty scale change between outer iterations — no recompilation, the
 scale is a traced leaf of DeviceVStack).  Multiplier update
 lam += rho (Cx - d); rho grows when the violation stalls.
 
+Multi-RHS scenarios are first-class: for b of shape (S, m) the multipliers
+are per-scenario vectors lam (S, p) — the stacked RHS [b_s; sqrt(rho)
+(d_s - lam_s/rho)] batches over s and the inner solve vmaps over it like
+any multi-RHS instance.  A single shared rho (driven by the worst-scenario
+violation) keeps the stacked operator identical across scenarios, which is
+what lets one compiled chunk serve the whole batch.  ``d`` may be (p,)
+(shared constraint targets) or (S, p) (per-scenario targets).
+
 Design decision (SURVEY.md §2 #12 asked to document it): augmented
 Lagrangian over null-space elimination, because elimination destroys the
 block-simplex structure the fused kernels exploit, while AL keeps the inner
@@ -27,6 +35,13 @@ from ..models.problem import Problem, ScaledMatrix, VStackMatrix
 from ..ops import layout as L
 
 __all__ = ["solve_equality_constrained"]
+
+
+def _c_matvec(C, x: np.ndarray) -> np.ndarray:
+    """C @ x for x of shape (n,) or (S, n) -> (p,) or (S, p)."""
+    if x.ndim == 1:
+        return C.matvec(x)
+    return np.stack([C.matvec(x[s]) for s in range(x.shape[0])])
 
 
 def solve_equality_constrained(
@@ -46,19 +61,23 @@ def solve_equality_constrained(
     mesh=None,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
-    ||Cx-d||_inf.  With ``mesh`` the inner solves run mesh-sharded (the
-    stacked [A; sqrt(rho) C] operator shards like any other instance)."""
+    ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
+    solves run mesh-sharded (the stacked [A; sqrt(rho) C] operator shards
+    like any other instance)."""
     from .base import solve
 
     if problem.C is None:
         raise ValueError("problem has no equality constraints")
-    if np.asarray(problem.b).ndim != 1:
-        raise NotImplementedError("multi-RHS equality-constrained solve: per-scenario loop")
 
-    C, d = problem.C, np.asarray(problem.d, dtype=np.float64)
+    C = problem.C
     b = np.asarray(problem.b, dtype=np.float64)
-    m = problem.A.shape[0]
+    multi = b.ndim == 2
+    S = b.shape[0] if multi else 1
     p = C.shape[0]
+    d = np.asarray(problem.d, dtype=np.float64)
+    if multi and d.ndim == 1:
+        d = np.broadcast_to(d, (S, p))
+    lam = np.zeros((S, p) if multi else p)
 
     # scale rho by the ratio of squared column norms so the penalty term is
     # commensurate with the data term from the first outer iteration
@@ -69,7 +88,6 @@ def solve_equality_constrained(
     # start with the penalty an order of magnitude below the data term so
     # early inners optimise the objective; rho grows as needed
     rho = 0.1 * float(rho0) * a_scale / c_scale
-    lam = np.zeros(p)
 
     result = None
     viol = np.inf
@@ -77,12 +95,12 @@ def solve_equality_constrained(
     ok_streak = 0
     for outer in range(outer_iters):
         sr = np.sqrt(rho)
-        b_bot = sr * (d - lam / rho)
+        b_bot = sr * (d - lam / rho)  # (p,) or (S, p)
         # rebuild so the block equilibration reflects the current penalty
         # scale (same shapes/structure -> no recompilation, only new leaves)
         stacked = Problem(
             A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
-            b=np.concatenate([b, b_bot]),
+            b=np.concatenate([b, b_bot], axis=-1),
             partition=problem.partition,
             name=problem.name + "+eq",
         )
@@ -103,9 +121,9 @@ def solve_equality_constrained(
                 x0=x_prev,  # warm-start from the previous outer iterate
             )
         total_iters += result.iterations
-        x = np.asarray(result.x, dtype=np.float64).reshape(-1)
-        cx_d = C.matvec(x) - d
-        # relative violation: ||Cx-d||_inf / max(1, ||d||_inf)
+        x = np.asarray(result.x, dtype=np.float64)
+        cx_d = _c_matvec(C, x) - d
+        # relative violation: ||Cx-d||_inf / max(1, ||d||_inf), worst scenario
         dref = max(1.0, float(np.abs(d).max())) if p else 1.0
         new_viol = float(np.abs(cx_d).max()) / dref if p else 0.0
         lam = lam + rho * cx_d
@@ -120,7 +138,8 @@ def solve_equality_constrained(
             break
 
     # report the ORIGINAL objective (not the augmented one)
-    result.objective = problem.objective_np(np.asarray(result.x, np.float64))
+    x = np.asarray(result.x, np.float64)
+    result.objective = problem.objective_np(x)
     result.iterations = total_iters
     result.eq_violation = viol
     result.converged = bool(result.converged and viol <= eq_tol)

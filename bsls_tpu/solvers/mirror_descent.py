@@ -27,6 +27,12 @@ class EGState(NamedTuple):
     k: jnp.ndarray
 
 
+# sharding protocol (parallel.sharding.state_specs): field -> kind
+EGState.SHARD_KINDS = {
+    "xp": "x", "r": "r", "f": "scalar", "gap": "scalar", "k": "scalar",
+}
+
+
 def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> EGState:
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     r = Q.residual(dp, L.padded_to_flat(dp, xp))

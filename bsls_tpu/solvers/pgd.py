@@ -32,6 +32,13 @@ class PGDState(NamedTuple):
     g_prev: jnp.ndarray  # flat, for BB
 
 
+# sharding protocol (parallel.sharding.state_specs): field -> kind
+PGDState.SHARD_KINDS = {
+    "xp": "x", "r": "r", "f": "scalar", "gap": "scalar", "k": "scalar",
+    "x_prev": "xflat", "g_prev": "xflat",
+}
+
+
 def _dz_forward(dzp, buckets):
     """Linear part of z->x per bucket: (D dz)_j = dz_j - dz_{j-1}, last valid
     slot gets -dz_{n-2} (since x_n = 1 - z_{n-1})."""

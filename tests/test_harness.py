@@ -71,6 +71,109 @@ def test_solve_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(float(noop.objective), float(full.objective), rtol=1e-5)
 
 
+def test_checkpoint_rotation(tmp_path):
+    import jax.numpy as jnp
+
+    state = {"a": jnp.arange(4.0)}
+    path = str(tmp_path / "rot.npz")
+    for it in (100, 200, 300, 400):
+        save_state(path, state, meta={"iteration": it}, keep=2)
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "rot.it*.npz")))
+    assert [os.path.basename(f) for f in files] == [
+        "rot.it000000300.npz", "rot.it000000400.npz"
+    ]
+    from bsls_tpu.utils.checkpoint import latest_checkpoint
+
+    best = latest_checkpoint(path)
+    assert best.endswith("rot.it000000400.npz")
+    _, meta = load_state(best, state)
+    assert meta["iteration"] == 400
+
+
+def test_checkpoint_dtype_mismatch_rejected(tmp_path):
+    import jax.numpy as jnp
+
+    state = {"a": jnp.arange(5.0, dtype=jnp.float32)}
+    path = str(tmp_path / "dt.npz")
+    save_state(path, state)
+    bad = {"a": jnp.arange(5, dtype=jnp.int32)}
+    with pytest.raises(ValueError, match="dtype"):
+        load_state(path, bad)
+
+
+def test_checkpoint_sharded_leaves(tmp_path):
+    """Pod-ready format: sharded leaves dump shard-by-shard (keyed by global
+    offset) and reassemble on load — exercised on the 8-virtual-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from bsls_tpu.parallel import make_mesh
+
+    mesh = make_mesh(block=4, scenario=2, devices=jax.devices()[:8])
+    x = jnp.arange(64.0).reshape(8, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("block", "scenario")))
+    state = {"x": xs, "scalar": jnp.asarray(7)}
+    path = str(tmp_path / "sh.npz")
+    save_state(path, state, meta={"iteration": 1})
+    raw = np.load(path, allow_pickle=False)
+    shard_keys = [k for k in raw.files if "_s" in k and k.startswith("leaf")]
+    assert len(shard_keys) >= 8  # per-shard dumps, not a gathered blob
+    back, _ = load_state(path, state)
+    np.testing.assert_array_equal(np.asarray(back["x"]), np.asarray(x))
+
+
+def test_kill_and_resume(tmp_path):
+    """REAL fault injection: SIGKILL a solver subprocess mid-run, then
+    resume from its last atomic checkpoint and match the uninterrupted
+    objective."""
+    import signal
+    import time
+
+    ck = str(tmp_path / "kill_ck.npz")
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import bsls_tpu as bsls
+from bsls_tpu.models import synthetic
+import time
+prob = synthetic.tiny_dense(seed=1, num_blocks=20, dim=6, m=150)
+# throttle chunks so the parent's SIGKILL lands well before iteration 400
+# (resume-from-any-checkpoint < 400 is trajectory-identical; overshooting
+# 400 would make the resumed run better than the 400-iter reference)
+bsls.solve(prob, method="pgd", tol=0.0, max_iter=100000, chunk=50,
+           checkpoint_path={ck!r}, checkpoint_every=1,
+           callback=lambda it, st: time.sleep(0.3))
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline and not os.path.exists(ck):
+            if proc.poll() is not None:
+                raise AssertionError("subprocess exited before first checkpoint")
+            time.sleep(0.25)
+        assert os.path.exists(ck), "no checkpoint appeared within budget"
+        os.kill(proc.pid, signal.SIGKILL)  # exact PID, never a pattern
+    finally:
+        proc.wait(timeout=30)
+
+    prob = synthetic.tiny_dense(seed=1, num_blocks=20, dim=6, m=150)
+    full = bsls.solve(prob, method="pgd", tol=0.0, max_iter=400, chunk=50)
+    resumed = bsls.solve(prob, method="pgd", tol=0.0, max_iter=400, chunk=50,
+                         checkpoint_path=ck, checkpoint_every=1, resume=True)
+    np.testing.assert_allclose(
+        float(resumed.objective), float(full.objective), rtol=1e-5, atol=1e-8
+    )
+
+
 def test_benchmark_cli_tiny(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "run.py"),

@@ -105,6 +105,49 @@ def test_row_sharded_apgd_both_axes(eight_devices):
     )
 
 
+def test_row_sharded_ell_matches_single_device(eight_devices):
+    """SP/CP-analog for SPARSE A: per-shard dual-ELL re-encoding (local row
+    ids on the column orientation, global PF cols on the row orientation)."""
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = synthetic.medium_sparse(seed=7, num_blocks=120, m=1000)
+    assert prob.A.shape[0] % 8 == 0  # also exercise the non-padded path
+    res1 = bsls.solve(prob, method="pgd", tol=1e-7, max_iter=300, chunk=100)
+    res8 = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=300,
+                         chunk=100, shard_rows=True)
+    np.testing.assert_allclose(
+        float(np.asarray(res8.objective)), float(np.asarray(res1.objective)),
+        rtol=5e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(res8.x, res1.x, atol=5e-4)
+
+
+def test_row_sharded_ell_padded_rows_multi_rhs(eight_devices):
+    """ELL row sharding with m % 8 != 0 (zero-row padding) + scenario axis."""
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = synthetic.medium_sparse(seed=8, num_blocks=80, m=777)
+    from bsls_tpu.models.synthetic import with_scenarios
+
+    prob = with_scenarios(prob, 4, seed=3)
+    res = solve_sharded(prob, mesh, method="apgd", tol=1e-7, max_iter=300,
+                        chunk=100, shard_rows=True)
+    res0 = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=300, chunk=100)
+    np.testing.assert_allclose(
+        np.asarray(res.objective), np.asarray(res0.objective), rtol=5e-3, atol=1e-6
+    )
+
+
+def test_sharded_afw_matches_single_device(eight_devices):
+    """Pairwise-FW's per-block away logic under the block-sharded mesh."""
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = _uniform_prob(seed=9)
+    res1 = bsls.solve(prob, method="afw", tol=1e-7, max_iter=400, chunk=100)
+    res8 = solve_sharded(prob, mesh, method="afw", tol=1e-7, max_iter=400, chunk=100)
+    np.testing.assert_allclose(
+        float(np.asarray(res8.objective)), float(np.asarray(res1.objective)),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
 def test_sharded_ragged_blocks(eight_devices):
     mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
     prob = synthetic.traffic_like(num_blocks=64, m=200, num_eq=0, noise=1e-3)

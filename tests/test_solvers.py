@@ -34,6 +34,7 @@ def _relgap(f, fstar):
         ("apgd", "exact", 1e-6),
         ("eg", "exact", 1e-4),
         ("frank_wolfe", "exact", 1e-3),
+        ("afw", "exact", 1e-6),  # pairwise FW: linear rate restores parity
     ],
 )
 def test_solver_reaches_oracle_tiny(tiny, method, ls, target):
@@ -107,6 +108,59 @@ def test_equality_constrained_solve():
     # the trivial objective f(0)=||b||^2/2 instead.
     f0 = prob.objective_np(np.zeros(prob.partition.n_flat))
     assert float(res.objective) <= 1e-9 * f0
+
+
+def test_afw_beats_plain_fw(tiny):
+    """Away/pairwise steps must fix plain FW's sublinear zig-zag (the round-1
+    sweep had FW 4 orders of magnitude behind the field, VERDICT.md)."""
+    prob, orc = tiny
+    r_fw = bsls.solve(prob, method="frank_wolfe", tol=0.0, max_iter=600, chunk=100)
+    r_afw = bsls.solve(prob, method="afw", tol=0.0, max_iter=600, chunk=100)
+    gap_fw = _relgap(float(r_fw.objective), orc.objective)
+    gap_afw = _relgap(float(r_afw.objective), orc.objective)
+    assert gap_afw < 0.1 * gap_fw, (gap_afw, gap_fw)
+    # the FW duality gap remains a certificate under pairwise steps
+    assert float(r_afw.objective) - orc.objective <= float(r_afw.gap) + 1e-6
+
+
+def test_stall_stop_rule_terminates(tiny):
+    """solve(tol=...) must terminate by criterion, not max_iter, even where
+    the FW-gap certificate is loose (VERDICT.md weak #3)."""
+    prob, orc = tiny
+    res = bsls.solve(prob, method="pgd", tol=1e-9, max_iter=50000, chunk=200)
+    assert res.converged and res.iterations < 50000
+    assert res.stop_reason in ("gap", "stall", "gap/stall")
+    # the stall point is a genuine solution
+    assert _relgap(float(res.objective), orc.objective) <= 1e-5
+    # certificate-only mode is still available
+    res_gap = bsls.solve(prob, method="pgd", tol=1e-9, max_iter=600, chunk=200,
+                         stop_rule="gap")
+    assert res_gap.stop_reason in ("gap", "max_iter")
+
+
+def test_apgd_rejects_unsupported_line_search(tiny):
+    prob, _ = tiny
+    with pytest.raises(ValueError, match="apgd"):
+        bsls.solve(prob, method="apgd", line_search="bb", max_iter=10)
+
+
+def test_equality_constrained_multi_rhs():
+    """Per-scenario multipliers: (S, m) b against shared C with per-scenario
+    targets d (S, p)."""
+    from dataclasses import replace
+
+    prob = synthetic.traffic_like(num_blocks=40, m=200, num_eq=8, noise=0.0)
+    rng = np.random.default_rng(5)
+    sizes = prob.partition.sizes
+    xs = np.stack([synthetic.random_block_x(rng, sizes) for _ in range(3)])
+    b = np.stack([prob.A.matvec(xs[s]) for s in range(3)])
+    d = np.stack([np.asarray(prob.C.matvec(xs[s])) for s in range(3)])
+    p3 = replace(prob, b=b, d=d, x_true=xs)
+    res = bsls.solve(p3, method="apgd", tol=1e-7, max_iter=4000, chunk=200)
+    assert res.x.shape == (3, prob.partition.n_flat)
+    assert res.eq_violation is not None and res.eq_violation <= 1e-4
+    f0 = p3.objective_np(np.zeros((3, prob.partition.n_flat)))
+    assert np.all(np.asarray(res.objective) <= 1e-9 * np.maximum(f0, 1.0))
 
 
 def test_time_to_gap_metric(tiny):
