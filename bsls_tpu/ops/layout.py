@@ -100,9 +100,22 @@ class DeviceEll:
     mv_vals: Optional[object]  # matching values
     num_rows: int  # static
     row_sharded: bool = False  # static: leading axis of ALL arrays is a row shard
+    # col-nnz-bucketed A^T r copy (unsharded instances): columns sorted by
+    # nonzero count into a few width groups so padding slots are never
+    # gathered; partials concatenate in sorted-column order and one final
+    # (n_pf,)-row gather (rt_inv) restores PF order.  Cuts gathered rows
+    # ~k_max/avg_nnz-fold on ragged-column instances.
+    rt_rows: Optional[tuple] = None  # tuple[(n_g, w_g)] int32
+    rt_vals: Optional[tuple] = None
+    rt_inv: Optional[jnp.ndarray] = None  # (n_pf,) int32 rank in sorted order
+    rt_zeros: int = 0  # static: count of zero-nnz columns (emitted as zeros)
 
 
-_register(DeviceEll, ["rows", "vals", "mv_cols", "mv_vals"], ["num_rows", "row_sharded"])
+_register(
+    DeviceEll,
+    ["rows", "vals", "mv_cols", "mv_vals", "rt_rows", "rt_vals", "rt_inv"],
+    ["num_rows", "row_sharded", "rt_zeros"],
+)
 
 ROW_ELL_MAX_K = 512
 
@@ -220,14 +233,14 @@ def _build_row_ell_bucketed(rows_pf, vals_pf, num_rows: int):
     rank[row_perm] = np.arange(num_rows)
     counts_sorted = counts[row_perm]
 
-    # nonzeros grouped by permuted row, position within row
+    # nonzeros grouped by permuted row (native single-pass ELL encode),
+    # position within row; groups then slice off the full-width encode
+    from ..native import group_ell
+
     pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz].astype(np.int32)
     r_new = rank[rows_pf[nz]]
     v = vals_pf[nz]
-    order = np.argsort(r_new, kind="stable")
-    r_s, p_s, v_s = r_new[order], pf_pos[order], v[order]
-    first = np.searchsorted(r_s, r_s)
-    pos = np.arange(r_s.size) - first
+    full_cols, full_vals = group_ell(r_new, pf_pos, v, num_rows)
 
     # power-of-two bucket widths over the sorted-row space; min width 4
     # bounds the number of gather groups (compile time through the remote
@@ -242,22 +255,13 @@ def _build_row_ell_bucketed(rows_pf, vals_pf, num_rows: int):
     widths = sorted(set(widths))
     mv_cols, mv_vals = [], []
     lo = 0
-    prev_w = 0
     for w in widths:
         hi = int(np.searchsorted(counts_sorted, w, side="right"))
-        m_k = hi - lo
-        if m_k <= 0:
-            prev_w = w
+        if hi <= lo:
             continue
-        cols_k = np.zeros((m_k, w), np.int32)
-        vals_k = np.zeros((m_k, w), vals_pf.dtype)
-        sel = (r_s >= lo) & (r_s < hi)
-        cols_k[r_s[sel] - lo, pos[sel]] = p_s[sel]
-        vals_k[r_s[sel] - lo, pos[sel]] = v_s[sel]
-        mv_cols.append(cols_k)
-        mv_vals.append(vals_k)
+        mv_cols.append(np.ascontiguousarray(full_cols[lo:hi, :w]))
+        mv_vals.append(np.ascontiguousarray(full_vals[lo:hi, :w]))
         lo = hi
-        prev_w = w
     assert lo == num_rows, (lo, num_rows)
     return row_perm, tuple(mv_cols), tuple(mv_vals)
 
@@ -269,6 +273,8 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     (mv_cols, mv_vals) of shape (n_shards, m, kr) with *local* PF column
     indices, or (None, None) if kr would exceed ROW_ELL_MAX_K.
     """
+    from ..native import group_ell
+
     n_pf, k = rows_pf.shape
     n_loc = n_pf // n_shards
     nz = vals_pf != 0
@@ -283,21 +289,56 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     shard = pf_pos // n_loc
     local = (pf_pos % n_loc).astype(np.int32)
     key = shard.astype(np.int64) * num_rows + r
-    order = np.argsort(key, kind="stable")
-    key_s, local_s, v_s = key[order], local[order], v[order]
-    # position of each nonzero within its (shard, row) group
-    group_start = np.searchsorted(key_s, key_s)  # first occurrence index
-    pos = np.arange(key_s.size) - group_start
-    kr = int(pos.max()) + 1
-    if kr > ROW_ELL_MAX_K:
+    counts = np.bincount(r, minlength=num_rows)
+    if counts.max() > ROW_ELL_MAX_K:
         return None, None
-    mv_cols = np.zeros((n_shards, num_rows, kr), np.int32)
-    mv_vals = np.zeros((n_shards, num_rows, kr), vals_pf.dtype)
-    sh = (key_s // num_rows).astype(np.int32)
-    rw = (key_s % num_rows).astype(np.int32)
-    mv_cols[sh, rw, pos] = local_s
-    mv_vals[sh, rw, pos] = v_s
-    return mv_cols, mv_vals
+    mv_cols, mv_vals = group_ell(key, local, v, n_shards * num_rows)
+    kr = mv_cols.shape[1]
+    return (
+        mv_cols.reshape(n_shards, num_rows, kr),
+        mv_vals.reshape(n_shards, num_rows, kr),
+    )
+
+
+def _build_col_ell_bucketed(rows_pf, vals_pf, max_groups: int = 6):
+    """Col-nnz-bucketed A^T r layout: sort PF columns by nonzero count into
+    <= max_groups width groups (widths = count quantiles, so padding beyond
+    a column's own count is bounded by the group spread).  Returns
+    (rt_rows, rt_vals, rt_inv, n_zero): group tuples in ascending-count
+    order, the PF->sorted-position rank, and the number of zero-nnz columns
+    (those are never gathered — their g entries are emitted as zeros)."""
+    n_pf, k = rows_pf.shape
+    nz = vals_pf != 0
+    counts = nz.sum(axis=1)
+    # compact each column's nonzeros into the leading slots (interior zeros
+    # would otherwise be dropped by the [:w] slice below)
+    cidx = np.argsort(~nz, axis=1, kind="stable")
+    rows_pf = np.take_along_axis(rows_pf, cidx, axis=1)
+    vals_pf = np.take_along_axis(vals_pf, cidx, axis=1)
+    order = np.argsort(counts, kind="stable")
+    rank = np.empty(n_pf, np.int64)
+    rank[order] = np.arange(n_pf)
+    counts_sorted = counts[order]
+    n_zero = int(np.searchsorted(counts_sorted, 1))
+    pos = np.asarray(counts_sorted[n_zero:], np.int64)
+    # group boundaries: up to max_groups distinct count levels (quantiles)
+    if pos.size:
+        qs = np.quantile(pos, np.linspace(1.0 / max_groups, 1.0, max_groups))
+        levels = sorted(set(int(np.ceil(q)) for q in qs) | {int(pos[-1])})
+    else:
+        levels = []
+    rt_rows, rt_vals = [], []
+    lo = n_zero
+    for w in levels:
+        hi = int(np.searchsorted(counts_sorted, w, side="right"))
+        if hi <= lo:
+            continue
+        sel = order[lo:hi]  # PF columns in this group (count <= w)
+        rt_rows.append(np.ascontiguousarray(rows_pf[sel, :w]))
+        rt_vals.append(np.ascontiguousarray(vals_pf[sel, :w]))
+        lo = hi
+    assert lo == n_pf, (lo, n_pf)
+    return tuple(rt_rows), tuple(rt_vals), rank.astype(np.int32), n_zero
 
 
 def _build_ell_row_sharded(rows_pf, vals_pf, num_rows: int, nr: int):
@@ -319,25 +360,17 @@ def _build_ell_row_sharded(rows_pf, vals_pf, num_rows: int, nr: int):
     shard = r // m_loc
     local_r = (r % m_loc).astype(np.int32)
 
-    def ell_by(group_key, dim1, idx_b, payload_idx, payload_val):
-        order = np.argsort(group_key, kind="stable")
-        key_s = group_key[order]
-        first = np.searchsorted(key_s, key_s)
-        pos = np.arange(key_s.size) - first
-        width = int(pos.max()) + 1 if key_s.size else 1
-        cols = np.zeros((nr, dim1, width), np.int32)
-        vals = np.zeros((nr, dim1, width), vals_pf.dtype)
-        cols[shard[order], idx_b[order], pos] = payload_idx[order]
-        vals[shard[order], idx_b[order], pos] = payload_val[order]
-        return cols, vals
+    from ..native import group_ell
+
+    def ell_by(group_key, dim1, payload_idx, payload_val):
+        cols, vals = group_ell(group_key, payload_idx, payload_val, nr * dim1)
+        w = cols.shape[1]
+        return cols.reshape(nr, dim1, w), vals.reshape(nr, dim1, w)
 
     # column orientation per shard: group by (shard, pf column)
-    rows3, vals3 = ell_by(shard * n_pf + pf_pos, n_pf, pf_pos, local_r, v)
+    rows3, vals3 = ell_by(shard * n_pf + pf_pos, n_pf, local_r, v)
     # row orientation per shard: group by (shard, local row)
-    mv_cols3, mv_vals3 = ell_by(
-        shard * m_loc + local_r, m_loc, local_r.astype(np.int64),
-        pf_pos.astype(np.int32), v
-    )
+    mv_cols3, mv_vals3 = ell_by(shard * m_loc + local_r, m_loc, pf_pos.astype(np.int32), v)
     return rows3, vals3, mv_cols3, mv_vals3
 
 
@@ -392,12 +425,17 @@ def to_device_matrix(
                 rows = rank[rows].astype(np.int32)  # col-ELL in permuted space
                 if _out is not None:
                     _out["row_perm"] = row_perm
+                rt_r, rt_v, rt_inv, n_zero = _build_col_ell_bucketed(rows, vals)
                 return DeviceEll(
                     rows=jnp.asarray(rows),
                     vals=jnp.asarray(vals, dtype=dtype),
                     mv_cols=tuple(jnp.asarray(c) for c in mvc),
                     mv_vals=tuple(jnp.asarray(v2, dtype=dtype) for v2 in mvv),
                     num_rows=M.num_rows,
+                    rt_rows=tuple(jnp.asarray(c) for c in rt_r),
+                    rt_vals=tuple(jnp.asarray(v2, dtype=dtype) for v2 in rt_v),
+                    rt_inv=jnp.asarray(rt_inv),
+                    rt_zeros=n_zero,
                 )
         mv_cols, mv_vals = _build_row_ell(rows, vals, M.num_rows, n_shards)
         return DeviceEll(
@@ -658,6 +696,15 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         return sum(
             gather_dot(A.vals[s], A.rows[s], rs[..., s, :]) for s in range(nr)
         )
+    if A.rt_rows is not None:
+        # col-nnz-bucketed: gather only real nonzeros (grouped widths),
+        # zero-nnz columns emitted directly, one rank gather to PF order
+        parts = [gather_dot(v, rw, r) for rw, v in zip(A.rt_rows, A.rt_vals)]
+        if A.rt_zeros:
+            z = jnp.zeros((A.rt_zeros,), parts[0].dtype if parts else r.dtype)
+            parts = [z] + parts
+        g_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return g_sorted[A.rt_inv]
     return gather_dot(A.vals, A.rows, r)
 
 

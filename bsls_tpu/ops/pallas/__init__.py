@@ -36,3 +36,38 @@ def use_pallas() -> bool:
 
 from .pava_kernel import pava_pallas  # noqa: E402
 from .projection_kernel import proj_simplex_pallas  # noqa: E402
+
+
+def _fold_scenarios(impl):
+    """Give a ``(v (B, w), widths (B,), radius (B,)) -> (B, w)`` kernel entry
+    a custom-vmap rule that FOLDS a mapped scenario axis into the block/grid
+    axis — one pallas_call over (S*B, w) rows — instead of letting vmap
+    serialise the pallas grid over scenarios (which cost 3.6x at S=128 in
+    round 1; ROADMAP #4).  Per-(scenario, block) independence makes the fold
+    exact.  Nested vmaps fold recursively."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.custom_batching.custom_vmap(impl)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, v, widths, radius):
+        S = axis_size
+
+        def lead(x, batched):
+            return x if batched else jnp.broadcast_to(x, (S,) + x.shape)
+
+        v = lead(v, in_batched[0])
+        widths = lead(widths, in_batched[1])
+        radius = lead(radius, in_batched[2])
+        B, w = v.shape[-2], v.shape[-1]
+        out = fn(v.reshape(S * B, w), widths.reshape(S * B), radius.reshape(S * B))
+        return out.reshape(S, B, w), True
+
+    return fn
+
+
+# production entries (default tile, compiled): scenario-folding batched forms
+proj_simplex_pallas_b = _fold_scenarios(lambda v, w, r: proj_simplex_pallas(v, w, r))
+pava_pallas_b = _fold_scenarios(lambda y, w, r: pava_pallas(y, w, r))
+__all__ += ["proj_simplex_pallas_b", "pava_pallas_b"]

@@ -7,12 +7,13 @@ minimax characterisation
 
     yhat_i = min_{k>=i} max_{j<=i} mean(y[j..k])
 
-with a w-step loop of (TB, w) vector ops: prefix sums via an MXU
-triangular matmul, then per-step running max over segment means and a
-masked lane-min reduction.  O(w^2) VPU work per block, no (B, w, w)
-intermediate ever touches HBM (unlike the XLA fallback in ops.isotonic).
-Uniform [0, radius] bounds commute with the monotone projection and are
-applied as a final clip.
+with a w-step loop of (TB, w) vector ops: prefix sums via a masked-lane
+accumulation loop (tiny (w,w) matmuls and the cumsum primitive mis-lower
+on this image's Mosaic — see the kernel comment), then per-step running
+max over segment means and a masked lane-min reduction.  O(w^2) VPU work
+per block, no (B, w, w) intermediate ever touches HBM (unlike the XLA
+fallback in ops.isotonic).  Uniform [0, radius] bounds commute with the
+monotone projection and are applied as a final clip.
 """
 from __future__ import annotations
 

@@ -53,11 +53,12 @@ def proj_blocks(xp, buckets):
     """Apply the projection to every bucket of a padded pytree (per-bucket
     radii from equilibration).  Dispatches to the fused Pallas kernel on
     TPU, the XLA implementation elsewhere."""
-    from .pallas import proj_simplex_pallas, use_pallas
+    from .pallas import proj_simplex_pallas_b, use_pallas
 
     if use_pallas():
+        # _b: custom-vmap entry that folds a scenario axis into the grid
         return tuple(
-            proj_simplex_pallas(x, bk.sizes, bk.radius) for x, bk in zip(xp, buckets)
+            proj_simplex_pallas_b(x, bk.sizes, bk.radius) for x, bk in zip(xp, buckets)
         )
     return tuple(
         proj_simplex_padded(x, bk.mask, bk.radius) for x, bk in zip(xp, buckets)

@@ -262,6 +262,7 @@ def solve_sharded(
     chunk: int = 100,
     line_search: str = "exact",
     step_size: float = 0.0,
+    unroll: int = 1,
     dtype=jnp.float32,
     verbose: bool = False,
     metrics=None,
@@ -298,7 +299,7 @@ def solve_sharded(
         dp, part = shard_problem(problem, mesh, dtype=dtype)
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
-        max_iter=max_iter, chunk=chunk, step_size=step_size,
+        max_iter=max_iter, chunk=chunk, step_size=step_size, unroll=unroll,
     )
     solver = _get_solver(method)
     dspecs = dp_specs(dp, rows=shard_rows)
@@ -344,7 +345,7 @@ def solve_sharded(
                 s3 = solver.step(d, s2, L_loc, opts)
                 return s3, (s3.f, s3.gap)
 
-            return jax.lax.scan(body, s, None, length=chunk)
+            return jax.lax.scan(body, s, None, length=chunk, unroll=unroll)
 
         st2, trace = jax.vmap(per_scen)(dp_loc.b, st)
         return st2, trace

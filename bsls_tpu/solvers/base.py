@@ -48,6 +48,7 @@ class SolveOptions:
     chunk: int = 100  # iterations per compiled scan chunk
     step_size: float = 0.0  # fixed step (0 -> 1/L from power iteration)
     space: str = "x"  # x | z  (z-space PGD projects with PAVA)
+    unroll: int = 1  # lax.scan unroll: amortises per-iteration op overhead
 
 
 class CommonState(NamedTuple):
@@ -200,7 +201,7 @@ def _run_chunk(dp, state, L_est, opts: SolveOptions, solver_name: str, steps: in
         st2 = solver.step(dp, st, L_est, opts)
         return st2, (st2.f, st2.gap)
 
-    state, trace = jax.lax.scan(body, state, None, length=steps)
+    state, trace = jax.lax.scan(body, state, None, length=steps, unroll=opts.unroll)
     return state, trace
 
 
@@ -221,6 +222,7 @@ def solve(
     line_search: str = "exact",
     step_size: float = 0.0,
     space: str = "x",
+    unroll: int = 1,
     dtype=jnp.float32,
     callback: Optional[Callable[[int, Any], None]] = None,
     mesh=None,
@@ -267,6 +269,7 @@ def solve(
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size, space=space,
+        unroll=unroll,
     )
     solver = _get_solver(method)
     multi = dp.b.ndim == 2

@@ -7,6 +7,13 @@ Line-search modes (SURVEY.md §2 #6-9):
            the PAVA kernel; direction mapped back linearly (the reference's
            "PAVA-based line search", BASELINE.json:11)
   bb     — Barzilai-Borwein step, projected (non-monotone, cheapest)
+  bbm    — monotone safeguarded BB: the projected BB candidate is kept only
+           if it descends; otherwise the exact quadratic step along the
+           same direction (guaranteed descent: d is a projection-arc
+           direction, g.d < 0) replaces the unit step.  Same 2
+           matvecs/iter as bb, monotone like exact, converges at the BB
+           rate in practice — the honest fast time-to-1e-6 solver
+           (VERDICT.md next #6).
   fixed  — constant step (opts.step_size or 1/L)
 """
 from __future__ import annotations
@@ -84,7 +91,7 @@ def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
         t0 = jnp.asarray(opts.step_size, x_flat.dtype)
     else:
         t0 = jnp.asarray(1.0, x_flat.dtype) / L_est
-    if opts.line_search == "bb":
+    if opts.line_search in ("bb", "bbm"):
         dx = x_flat - st.x_prev
         dg = g_flat - st.g_prev
         t_bb = Q.bb_step(L.xdot(dp, dx, dx), L.xdot(dp, dx, dg), fallback=t0)
@@ -110,6 +117,14 @@ def step(dp, st: PGDState, L_est, opts: SolveOptions) -> PGDState:
     Ad = L.matvec_ps(dp, d_flat)
     if opts.line_search in ("exact", "pava"):
         t = Q.exact_step(dp, L.xdot(dp, g_flat, d_flat), Ad, 0.0, 1.0)
+    elif opts.line_search == "bbm":
+        # monotone safeguard: unit BB step if it descends, else the exact
+        # quadratic minimiser along the same (descent) direction
+        g_dot_d = L.xdot(dp, g_flat, d_flat)
+        dAAd = L.rdot(dp, Ad, Ad)
+        f_unit = st.f + g_dot_d + 0.5 * dAAd  # f(x+d), exact for a quadratic
+        t_exact = jnp.clip(-g_dot_d / jnp.maximum(dAAd, 1e-30), 0.0, 1.0)
+        t = jnp.where(f_unit <= st.f, jnp.asarray(1.0, x_flat.dtype), t_exact)
     else:
         t = jnp.asarray(1.0, x_flat.dtype)
 
