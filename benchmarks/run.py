@@ -29,6 +29,7 @@ def build_parser():
     p.add_argument("--config", default=None, help="tiny|medium|traffic|large|path.npz")
     p.add_argument("--method", default=None)
     p.add_argument("--line-search", dest="line_search", default=None)
+    p.add_argument("--unroll", type=int, default=None)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--max-iter", dest="max_iter", type=int, default=None)
     p.add_argument("--chunk", type=int, default=None)
@@ -129,6 +130,7 @@ def main(argv=None):
                 tol=cfg.tol,
                 max_iter=cfg.max_iter,
                 chunk=cfg.chunk,
+                unroll=cfg.unroll,
                 step_size=cfg.step_size,
                 mesh=mesh,
                 metrics=mw if mesh is None else None,

@@ -327,17 +327,28 @@ def _build_col_ell_bucketed(rows_pf, vals_pf, max_groups: int = 6):
         levels = sorted(set(int(np.ceil(q)) for q in qs) | {int(pos[-1])})
     else:
         levels = []
-    rt_rows, rt_vals = [], []
+    # only worth it if the grouped gather count (plus the n_pf-row inverse
+    # rank gather) beats the plain (n_pf, k) gather; uniform-nnz instances
+    # (e.g. the large config, every column k nonzeros) would only pay the
+    # extra rank gather
+    grouped_rows = n_pf  # the rt_inv rank gather
     lo = n_zero
+    group_spans = []
     for w in levels:
         hi = int(np.searchsorted(counts_sorted, w, side="right"))
         if hi <= lo:
             continue
-        sel = order[lo:hi]  # PF columns in this group (count <= w)
-        rt_rows.append(np.ascontiguousarray(rows_pf[sel, :w]))
-        rt_vals.append(np.ascontiguousarray(vals_pf[sel, :w]))
+        group_spans.append((lo, hi, w))
+        grouped_rows += (hi - lo) * w
         lo = hi
     assert lo == n_pf, (lo, n_pf)
+    if grouped_rows >= 0.9 * n_pf * k:
+        return None, None, None, 0
+    rt_rows, rt_vals = [], []
+    for lo_g, hi_g, w in group_spans:
+        sel = order[lo_g:hi_g]  # PF columns in this group (count <= w)
+        rt_rows.append(np.ascontiguousarray(rows_pf[sel, :w]))
+        rt_vals.append(np.ascontiguousarray(vals_pf[sel, :w]))
     return tuple(rt_rows), tuple(rt_vals), rank.astype(np.int32), n_zero
 
 
@@ -432,9 +443,15 @@ def to_device_matrix(
                     mv_cols=tuple(jnp.asarray(c) for c in mvc),
                     mv_vals=tuple(jnp.asarray(v2, dtype=dtype) for v2 in mvv),
                     num_rows=M.num_rows,
-                    rt_rows=tuple(jnp.asarray(c) for c in rt_r),
-                    rt_vals=tuple(jnp.asarray(v2, dtype=dtype) for v2 in rt_v),
-                    rt_inv=jnp.asarray(rt_inv),
+                    rt_rows=(
+                        None if rt_r is None else tuple(jnp.asarray(c) for c in rt_r)
+                    ),
+                    rt_vals=(
+                        None
+                        if rt_v is None
+                        else tuple(jnp.asarray(v2, dtype=dtype) for v2 in rt_v)
+                    ),
+                    rt_inv=None if rt_inv is None else jnp.asarray(rt_inv),
                     rt_zeros=n_zero,
                 )
         mv_cols, mv_vals = _build_row_ell(rows, vals, M.num_rows, n_shards)

@@ -246,6 +246,7 @@ def solve(
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
+            unroll=unroll,
         )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded

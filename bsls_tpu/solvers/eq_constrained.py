@@ -54,6 +54,7 @@ def solve_equality_constrained(
     line_search: str = "exact",
     step_size: float = 0.0,
     dtype=jnp.float32,
+    unroll: int = 1,
     rho0: float = 1.0,
     rho_growth: float = 4.0,
     outer_iters: int = 12,
@@ -111,7 +112,7 @@ def solve_equality_constrained(
             result = solve_sharded(
                 stacked, mesh, method=method, tol=tol, max_iter=inner_iters,
                 chunk=chunk, line_search=line_search, step_size=step_size,
-                dtype=dtype, x0=x_prev,
+                dtype=dtype, x0=x_prev, unroll=unroll,
             )
         else:
             dp = L.prepare(stacked, dtype=dtype)
@@ -119,6 +120,7 @@ def solve_equality_constrained(
                 dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
                 line_search=line_search, step_size=step_size, dtype=dtype,
                 x0=x_prev,  # warm-start from the previous outer iterate
+                unroll=unroll,
             )
         total_iters += result.iterations
         x = np.asarray(result.x, dtype=np.float64)

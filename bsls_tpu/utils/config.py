@@ -24,6 +24,7 @@ class RunConfig:
     tol: float = 1e-6
     max_iter: int = 10_000
     chunk: int = 100
+    unroll: int = 1  # lax.scan unroll inside a chunk
     step_size: float = 0.0
     dtype: str = "float32"
     equilibrate: bool = True
