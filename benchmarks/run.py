@@ -86,7 +86,9 @@ def main(argv=None):
 
     # instance
     t_gen = time.perf_counter()
-    if cfg.config in ("tiny", "medium", "traffic", "large"):
+    from bsls_tpu.models.synthetic import _CONFIGS
+
+    if cfg.config in _CONFIGS:
         prob = synthetic.make_config(cfg.config, seed=cfg.seed, **cfg.instance_kwargs)
     else:
         prob = Problem.load(cfg.config)
@@ -102,13 +104,13 @@ def main(argv=None):
         # costs minutes and is deterministic
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".bench")
         cache = os.path.join(cache_dir, f"oracle_{cfg.config}_{cfg.seed}.json")
-        if cfg.config in ("tiny", "medium", "traffic", "large") and os.path.exists(cache):
+        if cfg.config in _CONFIGS and os.path.exists(cache):
             with open(cache) as fh:
                 f_star = json.load(fh)["objective"]
         else:
             orc = oracle_solve(prob, tol_gap=1e-8, max_iter=25000)
             f_star = orc.objective
-            if cfg.config in ("tiny", "medium", "traffic", "large"):
+            if cfg.config in _CONFIGS:
                 os.makedirs(cache_dir, exist_ok=True)
                 with open(cache, "w") as fh:
                     json.dump({"objective": f_star, "gap": orc.gap,

@@ -97,7 +97,22 @@ class BlockPartition:
         bucket_widths: list[int] | None = None,
         block_multiple: int = 1,
         max_buckets: int = 4,
+        order_key=None,
+        groups: int | None = None,
     ) -> "BlockPartition":
+        """``order_key``: optional (B,) array; blocks within each bucket are
+        sorted by it (stable).  Used by the banded layout to order blocks by
+        row window so PF position tracks the band (ops/banded.py); block
+        order is otherwise arbitrary — extraction maps through pad_to_flat.
+
+        ``groups``: with order_key, treat order_key as a GROUP ID in
+        [0, groups) (clipped): each bucket lays group g's blocks at rows
+        [g*bpp, g*bpp + count_g), bpp = max group load, padding every group
+        to bpp with dummy rows — so a block's row position exactly encodes
+        its group.  The banded layout passes groups = number of 128-row
+        pages and key = each block's window page; tail-only padding or
+        quantile-balanced groups would let the static ladder drift off the
+        band by the local density fluctuation (~m/sqrt(B) rows)."""
         sizes = np.asarray(sizes, dtype=np.int64)
         if sizes.ndim != 1 or sizes.size == 0:
             raise ValueError("sizes must be a non-empty 1-D array")
@@ -125,16 +140,37 @@ class BlockPartition:
             ids = np.nonzero(assign == k)[0]
             if ids.size == 0:
                 continue
-            bk = _round_up(ids.size, block_multiple)
-            block_ids = np.full(bk, -1, dtype=np.int64)
-            block_ids[: ids.size] = ids
-            bsz = np.zeros(bk, dtype=np.int64)
-            bsz[: ids.size] = sizes[ids]
+            if order_key is not None:
+                ids = ids[np.argsort(np.asarray(order_key)[ids], kind="stable")]
+            if groups and order_key is not None:
+                # value-grouped layout: order_key IS the group id (clipped);
+                # each group's blocks sit at rows [g*bpp, g*bpp + count_g),
+                # bpp = max group load, remaining rows are dummies.  Row
+                # position is then an exact, data-independent function of
+                # the group — what the banded layout's static ladder needs.
+                gid = np.clip(np.asarray(order_key)[ids].astype(np.int64), 0, groups - 1)
+                counts = np.bincount(gid, minlength=groups)
+                bpp = max(int(counts.max()), 1)
+                bk = _round_up(groups * bpp, block_multiple)
+                row_of = np.full(bk, -1, dtype=np.int64)  # index into ids
+                # ids sorted by gid (stable): place group runs at g*bpp
+                starts_g = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                pos_in_g = np.arange(ids.size) - starts_g[gid]
+                row_of[gid * bpp + pos_in_g] = np.arange(ids.size)
+                real_rows = row_of >= 0
+                id_at = np.where(real_rows, ids[np.maximum(row_of, 0)], -1)
+            else:
+                bk = _round_up(ids.size, block_multiple)
+                id_at = np.full(bk, -1, dtype=np.int64)
+                id_at[: ids.size] = ids
+                real_rows = id_at >= 0
+            block_ids = id_at
+            bsz = np.where(real_rows, sizes[np.maximum(id_at, 0)], 0)
             p2f = np.zeros((bk, w), dtype=np.int32)
             cols = np.arange(w)[None, :]
-            starts = offsets[ids][:, None]
-            real = cols < sizes[ids][:, None]
-            p2f[: ids.size] = np.where(real, starts + cols, 0).astype(np.int32)
+            starts = offsets[np.maximum(id_at, 0)][:, None]
+            real = (cols < bsz[:, None]) & real_rows[:, None]
+            p2f = np.where(real, starts + cols, 0).astype(np.int32)
             buckets.append(Bucket(width=int(w), block_ids=block_ids, sizes=bsz, pad_to_flat=p2f))
         return BlockPartition(sizes=sizes, buckets=tuple(buckets), n_flat=n_flat)
 

@@ -16,6 +16,7 @@ __all__ = [
     "random_block_x",
     "tiny_dense",
     "medium_sparse",
+    "medium_banded",
     "traffic_like",
     "large_sharded",
     "make_config",
@@ -85,6 +86,36 @@ def medium_sparse(seed: int = 0, num_blocks: int = 10_000, dim_lo: int = 3,
     b = A.matvec(x_true) + noise * rng.standard_normal(m)
     return Problem(A=A, b=b, partition=BlockPartition.from_sizes(sizes),
                    name="medium_sparse", x_true=x_true)
+
+
+def medium_banded(seed: int = 0, num_blocks: int = 10_000, dim_lo: int = 3,
+                  dim_hi: int = 8, m: int = 100_000, spread: int = 150,
+                  noise: float = 1e-2) -> Problem:
+    """Corridor-structured medium instance: each OD block's routes traverse
+    links near a block-specific corridor center (the realistic regime —
+    routes are spatially local), so the incidence matrix is bandable and
+    the banded-split layout (ops/banded.py) applies.  Same scale and demand
+    model as ``medium_sparse``; only the link-locality differs."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(dim_lo, dim_hi + 1, size=num_blocks).astype(np.int64)
+    n = int(sizes.sum())
+    B = len(sizes)
+    demands = rng.uniform(1.0, 100.0, size=B)
+    col_demand = np.repeat(demands, sizes)
+    centers_b = rng.uniform(0, m, size=B)
+    centers = np.repeat(centers_b, sizes)
+    k = 12
+    lens = rng.integers(4, k + 1, size=n)
+    active = np.arange(k)[None, :] < lens[:, None]
+    offs = rng.integers(-spread, spread + 1, size=(n, k))
+    rows = np.clip(centers[:, None] + offs, 0, m - 1).astype(np.int32)
+    rows = np.where(active, rows, 0)
+    vals = np.where(active, col_demand[:, None], 0.0)
+    A = EllMatrix(rows=rows, vals=vals, num_rows=m)
+    x_true = random_block_x(rng, sizes)
+    b = A.matvec(x_true) + noise * rng.standard_normal(m)
+    return Problem(A=A, b=b, partition=BlockPartition.from_sizes(sizes),
+                   name="medium_banded", x_true=x_true)
 
 
 def traffic_like(seed: int = 0, num_blocks: int = 500, dim_lo: int = 2, dim_hi: int = 12,
@@ -159,6 +190,7 @@ def _traffic_net(**kw):
 _CONFIGS = {
     "tiny": tiny_dense,
     "medium": medium_sparse,
+    "medium_banded": medium_banded,
     "traffic": _traffic_net,  # grid-network route-flow (config 3)
     "traffic_random": traffic_like,  # random-incidence variant
     "large": large_sharded,

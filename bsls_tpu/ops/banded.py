@@ -1,0 +1,217 @@
+"""Structure-adaptive banded-split layout: gather-free sparse matvec for
+bandable instances.
+
+The uniform-random benchmark instances are an adversarial worst case for
+ANY layout on this stack — every nonzero forces one ~6 ns random-access
+row (the measured gather floor, BASELINE.md audit).  Real route-incidence
+matrices are different: routes traverse spatially local links, so after a
+bandwidth-reducing ordering (RCM on the bipartite adjacency; models/
+reorder.py) each column's nonzero rows fall in a narrow window that
+advances with the column index.  This module exploits that with a layout
+whose hot loop contains NO gathers and NO scatters:
+
+  * rows are padded to Mp = ceil(m/128) pages of 128;
+  * within each width bucket, blocks are sorted by their row window
+    (models/partition.py order_key), so PF position correlates with the
+    window;  each bucket's PF range is cut into Mp equal column groups
+    (C_b = ceil(L_b/Mp)), group g owning the static window
+    [128*g, 128*(g + wpages));
+  * columns whose nonzeros fit their group window are stored DENSE in a
+    per-bucket band tensor (Mp, C_b, Wmax); the rest go to a small
+    residual dual-ELL.
+
+Per iteration the banded part is pure dense algebra:
+
+    A@x  : Z_b = einsum('gcw,gc->gw', band_b, x_b)   per bucket, summed;
+           y  = sum_j pad_shift(Z[:, j*128:(j+1)*128], j pages)
+           (wpages static shifted adds — the overlap-add of a block-
+           bidiagonal matrix)
+    A^T r: Rw = hstack(r_pages[j : j+Mp] for j < wpages)   (static slices)
+           g_b = einsum('gcw,gw->gc', band_b, Rw)
+
+i.e. speed-of-light = band-tensor stream bandwidth, not the gather floor.
+The residual rides the existing gather path.  Profitability is decided at
+prepare time from the measured fit fraction and band memory.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DeviceBanded", "build_banded_split", "banded_matvec", "banded_rmatvec"]
+
+PAGE = 128
+
+
+@dataclass(frozen=True)
+class DeviceBanded:
+    """Banded-split device matrix.  ``bands[b]`` is (Mp, C_b, Wmax) for
+    bucket b whose PF range is [offsets[b], offsets[b] + Mp*C_b) after
+    zero-padding; ``resid`` holds non-fitting nonzeros (or None).
+
+    Group g's window covers logical row pages [g - back, g - back + wpages)
+    — in the front-padded page coordinate system used by the matvecs, the
+    window of group g always starts at padded page g, which is what keeps
+    every slice static."""
+
+    bands: tuple  # tuple[(Mp, C_b, Wmax) f32]
+    resid: Optional[object]  # DeviceEll or None
+    num_rows: int  # static: original m
+    wpages: int  # static: window width in pages
+    back: int  # static: pages the window extends BEHIND the ladder page
+    n_pf: int  # static
+    seg_lens: tuple  # static: unpadded PF length per bucket segment
+
+
+def _register():
+    jax.tree_util.register_dataclass(
+        DeviceBanded,
+        data_fields=["bands", "resid"],
+        meta_fields=["num_rows", "wpages", "back", "n_pf", "seg_lens"],
+    )
+
+
+_register()
+
+
+def block_window_key(rows_pf: np.ndarray, vals_pf: np.ndarray) -> np.ndarray:
+    """Per-PF-column window key (min nonzero row; big for empty columns)."""
+    nz = vals_pf != 0
+    r = np.where(nz, rows_pf, np.iinfo(np.int32).max)
+    return r.min(axis=1)
+
+
+def _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages):
+    """Data-driven window: per column, its row-page range relative to its
+    ladder page g; back/wpages cover the 2nd..98th percentile of columns."""
+    deltas_lo, deltas_hi = [], []
+    nz = vals_pf != 0
+    off = 0
+    for L in seg_lens:
+        C = max(-(-L // Mp), 1)
+        pos = np.arange(L)
+        g = pos // C
+        seg_nz = nz[off : off + L]
+        r = rows_pf[off : off + L]
+        rmin = np.where(seg_nz, r, np.iinfo(np.int32).max).min(axis=1)
+        rmax = np.where(seg_nz, r, -1).max(axis=1)
+        valid = rmax >= 0
+        deltas_lo.append(rmin[valid] // PAGE - g[valid])
+        deltas_hi.append(rmax[valid] // PAGE - g[valid])
+        off += L
+    dlo = np.concatenate(deltas_lo) if deltas_lo else np.zeros(1, np.int64)
+    dhi = np.concatenate(deltas_hi) if deltas_hi else np.zeros(1, np.int64)
+    back = int(np.clip(-np.percentile(dlo, 2), 0, max_pages - 1))
+    end = int(np.clip(np.percentile(dhi, 98) + 1, 1 - back, max_pages - back))
+    wpages = back + end
+    return back, max(wpages, 1)
+
+
+def build_banded_split(
+    rows_pf: np.ndarray,
+    vals_pf: np.ndarray,
+    num_rows: int,
+    seg_lens: list[int],
+    max_pages: int = 8,
+    dtype=np.float32,
+):
+    """Build the banded split from PF column-ELL data.
+
+    ``seg_lens``: PF length of each bucket segment (concatenated = n_pf).
+    Returns (bands, back, wpages, fit_fraction, (resid_rows, resid_vals)).
+    """
+    n_pf, k = rows_pf.shape
+    assert sum(seg_lens) == n_pf
+    Mp = -(-num_rows // PAGE)
+    nz = vals_pf != 0
+    back, wpages = _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages)
+    wmax = wpages * PAGE
+
+    bands = []
+    resid_rows = np.zeros_like(rows_pf)
+    resid_vals = np.zeros_like(vals_pf)
+    nnz_total = int(nz.sum())
+    nnz_fit = 0
+    off = 0
+    for L in seg_lens:
+        C = max(-(-L // Mp), 1)
+        band = np.zeros((Mp, C, wmax), dtype)
+        seg_rows = rows_pf[off : off + L]
+        seg_vals = vals_pf[off : off + L]
+        seg_nz = nz[off : off + L]
+        pos = np.arange(L)
+        g = pos // C  # ladder page of each column
+        c = pos % C
+        lo = ((g - back) * PAGE)[:, None]  # window start row per column
+        fits = seg_nz & (seg_rows >= lo) & (seg_rows < lo + wmax)
+        col_fits = fits.sum(axis=1) == seg_nz.sum(axis=1)
+        nnz_fit += int(seg_nz[col_fits].sum())
+        # dense-fill fitting columns (np.add.at: duplicate (row,col) entries
+        # in the ELL accumulate, matching the gather path's semantics)
+        fi = np.nonzero(col_fits[:, None] & seg_nz)
+        if fi[0].size:
+            gg = g[fi[0]]
+            cc = c[fi[0]]
+            ww = seg_rows[fi] - (gg - back) * PAGE
+            np.add.at(band, (gg, cc, ww), seg_vals[fi])
+        # residual: whole non-fitting columns
+        nf = ~col_fits
+        resid_rows[off : off + L][nf] = seg_rows[nf]
+        resid_vals[off : off + L][nf] = seg_vals[nf]
+        bands.append(band)
+        off += L
+    fit_fraction = nnz_fit / max(nnz_total, 1)
+    return bands, back, wpages, fit_fraction, (resid_rows, resid_vals)
+
+
+def _pad_to(x, n, axis=-1):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
+    """A_band @ x (no gathers/scatters; residual handled by the caller)."""
+    Mp = A.bands[0].shape[0]
+    wpages = A.wpages
+    dt = x_pf.dtype
+    Z = None
+    off = 0
+    for band, L in zip(A.bands, A.seg_lens):
+        C = band.shape[1]
+        seg = jax.lax.dynamic_slice_in_dim(x_pf, off, L, axis=-1)
+        seg = _pad_to(seg, Mp * C).reshape(Mp, C)
+        z = jnp.einsum("gcw,gc->gw", band, seg, preferred_element_type=dt)
+        Z = z if Z is None else Z + z
+        off += L
+    # overlap-add in front-padded page coords (group g starts at padded
+    # page g) via wpages STATIC shifted adds (dense update, no scatter)
+    pages = jnp.zeros((Mp + wpages, PAGE), dt)
+    for j in range(wpages):
+        pages = pages.at[j : j + Mp].add(Z[:, j * PAGE : (j + 1) * PAGE])
+    flat = pages.reshape(-1)
+    return flat[A.back * PAGE : A.back * PAGE + A.num_rows]
+
+
+def banded_rmatvec(A: DeviceBanded, r: jnp.ndarray) -> jnp.ndarray:
+    """A_band^T @ r (window reads are static page slices)."""
+    Mp = A.bands[0].shape[0]
+    wpages = A.wpages
+    dt = r.dtype
+    # front-pad `back` zero pages so group g's window starts at padded page g
+    rp = jnp.concatenate([jnp.zeros((A.back * PAGE,), dt), r])
+    rp = _pad_to(rp, (Mp + wpages) * PAGE).reshape(Mp + wpages, PAGE)
+    Rw = jnp.concatenate([rp[j : j + Mp] for j in range(wpages)], axis=1)  # (Mp, wmax)
+    outs = []
+    for band, L in zip(A.bands, A.seg_lens):
+        C = band.shape[1]
+        g = jnp.einsum("gcw,gw->gc", band, Rw, preferred_element_type=dt)
+        outs.append(g.reshape(Mp * C)[:L])
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]

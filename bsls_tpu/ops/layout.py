@@ -507,6 +507,109 @@ def block_scales(problem: Problem) -> np.ndarray:
     return c
 
 
+def _prepare_banded(
+    problem: Problem, dtype, equilibrate: bool, force: bool,
+    fit_threshold: float = 0.6, band_budget_bytes: int = 2 << 30,
+) -> Optional[DeviceProblem]:
+    """Try the banded-split layout (ops/banded.py): re-orders blocks by row
+    window, builds per-bucket band tensors + a sparse residual.  Returns
+    None when the instance is not bandable enough (fit fraction below
+    threshold) or the band tensors would blow the memory budget — the
+    caller then falls back to the gather layout."""
+    from .banded import PAGE, DeviceBanded, build_banded_split
+
+    part = problem.partition
+    A0: EllMatrix = problem.A
+    # per-block window page: min nonzero row page over the block's columns
+    nzmask = np.asarray(A0.vals) != 0
+    col_min = np.where(nzmask, np.asarray(A0.rows), np.iinfo(np.int32).max).min(axis=1)
+    offsets = np.concatenate([[0], np.cumsum(part.sizes)])[:-1]
+    Mp = -(-A0.num_rows // PAGE)
+    block_page = np.clip(np.minimum.reduceat(col_min, offsets) // PAGE, 0, Mp - 1)
+
+    # value-grouped partition: a block's PF row exactly encodes its window
+    # page, so the banded ladder is exact (groups padded to max page load)
+    part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp)
+    est_bytes = sum(
+        Mp * max(-(-b.num_blocks * b.width // Mp), 1) * 1024 * 4 for b in part2.buckets
+    )
+    if est_bytes > band_budget_bytes and not force:
+        return None
+
+    perm = build_pf_perm(part2, 1)
+    if equilibrate:
+        c = block_scales(problem)
+        col_scale = np.repeat(c, part.sizes)
+    else:
+        c = np.ones(part.num_blocks)
+        col_scale = None
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    if np_dtype.kind != "f":
+        np_dtype = np.dtype(np.float32)
+    sel = perm >= 0
+    rows_pf = np.zeros((perm.size, A0.k), dtype=np.int32)
+    vals_pf = np.zeros((perm.size, A0.k), dtype=np_dtype)
+    rows_pf[sel] = np.asarray(A0.rows)[perm[sel]]
+    v = np.asarray(A0.vals)[perm[sel]]
+    cs = None if col_scale is None else np.asarray(col_scale)[perm[sel]]
+    vals_pf[sel] = v if cs is None else v / cs[:, None]
+
+    seg_lens = [b.num_blocks * b.width for b in part2.buckets]
+    bands, back, wpages, fit, (res_rows, res_vals) = build_banded_split(
+        rows_pf, vals_pf, A0.num_rows, seg_lens, dtype=np_dtype
+    )
+    if fit < fit_threshold and not force:
+        return None
+
+    if (res_vals != 0).any():
+        mv_cols, mv_vals = _build_row_ell(res_rows, res_vals, A0.num_rows, 1)
+        rt_r, rt_v, rt_inv, n_zero = _build_col_ell_bucketed(res_rows, res_vals)
+        resid = DeviceEll(
+            rows=jnp.asarray(res_rows),
+            vals=jnp.asarray(res_vals, dtype=dtype),
+            mv_cols=None if mv_cols is None else jnp.asarray(mv_cols),
+            mv_vals=None if mv_vals is None else jnp.asarray(mv_vals, dtype=dtype),
+            num_rows=A0.num_rows,
+            rt_rows=None if rt_r is None else tuple(jnp.asarray(x) for x in rt_r),
+            rt_vals=(
+                None if rt_v is None else tuple(jnp.asarray(x, dtype=dtype) for x in rt_v)
+            ),
+            rt_inv=None if rt_inv is None else jnp.asarray(rt_inv),
+            rt_zeros=n_zero,
+        )
+    else:
+        resid = None
+    A = DeviceBanded(
+        bands=tuple(jnp.asarray(bd, dtype=dtype) for bd in bands),
+        resid=resid,
+        num_rows=A0.num_rows,
+        wpages=wpages,
+        back=back,
+        n_pf=int(perm.size),
+        seg_lens=tuple(seg_lens),
+    )
+    buckets = tuple(
+        DeviceBucket(
+            mask=jnp.asarray(b.mask, dtype=dtype),
+            sizes=jnp.asarray(b.sizes, dtype=jnp.int32),
+            radius=jnp.asarray(
+                np.where(b.block_ids >= 0, c[np.maximum(b.block_ids, 0)], 1.0),
+                dtype=dtype,
+            ),
+            width=b.width,
+        )
+        for b in part2.buckets
+    )
+    return DeviceProblem(
+        A=A,
+        b=jnp.asarray(np.asarray(problem.b), dtype=dtype),
+        buckets=buckets,
+        perm=jnp.asarray(perm),
+        n_user=part.n_flat,
+        num_rows=A0.num_rows,
+    )
+
+
 def prepare(
     problem: Problem,
     dtype=jnp.float32,
@@ -515,6 +618,7 @@ def prepare(
     row_axis: Optional[str] = None,
     equilibrate: bool = True,
     row_shards: int = 1,
+    layout: str = "auto",  # auto | banded | gather
     reduce_axis: Optional[str] = None,  # deprecated alias for col_axis
 ) -> DeviceProblem:
     """Move a host Problem into the device-side PF layout.
@@ -523,6 +627,18 @@ def prepare(
     mesh (see bsls_tpu.parallel.sharding); the single-device layout is the
     n_shards=1 special case of the same path.
     """
+    if (
+        layout in ("auto", "banded")
+        and n_shards == 1
+        and row_shards == 1
+        and not (col_axis or reduce_axis or row_axis)
+        and isinstance(problem.A, EllMatrix)
+    ):
+        dp = _prepare_banded(problem, dtype, equilibrate, force=(layout == "banded"))
+        if dp is not None:
+            return dp
+    elif layout == "banded":
+        raise ValueError("layout='banded' requires an unsharded EllMatrix instance")
     part = problem.partition
     perm = build_pf_perm(part, n_shards)
     if equilibrate:
@@ -662,6 +778,11 @@ def gather_dot(vals: jnp.ndarray, idx: jnp.ndarray, vec: jnp.ndarray) -> jnp.nda
 
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """A @ x for PF flat x (shard-local partial result when sharded)."""
+    from .banded import DeviceBanded, banded_matvec
+
+    if isinstance(A, DeviceBanded):
+        y = banded_matvec(A, x)
+        return y if A.resid is None else y + matvec(A.resid, x)
     if isinstance(A, DeviceDense):
         return A.data @ x
     if isinstance(A, DeviceVStack):
@@ -699,6 +820,11 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
     """A^T @ r -> PF flat.  Column-sharded: r replicated, result local.
     Row-sharded: r is this shard's local segment; the partial A_s^T r_s
     psums over the row axis (rmatvec_ps)."""
+    from .banded import DeviceBanded, banded_rmatvec
+
+    if isinstance(A, DeviceBanded):
+        g = banded_rmatvec(A, r)
+        return g if A.resid is None else g + rmatvec(A.resid, r)
     if isinstance(A, DeviceDense):
         return A.data.T @ r
     if isinstance(A, DeviceVStack):

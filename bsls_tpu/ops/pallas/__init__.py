@@ -67,7 +67,12 @@ def _fold_scenarios(impl):
     return fn
 
 
-# production entries (default tile, compiled): scenario-folding batched forms
-proj_simplex_pallas_b = _fold_scenarios(lambda v, w, r: proj_simplex_pallas(v, w, r))
+# production entries (default tile, compiled): scenario-folding batched forms.
+# The projection uses the lane-major (transposed) kernel — blocks on VPU
+# lanes: 5.9x the XLA projection and 17x the row-major kernel at the folded
+# S=128 scale (measured on-chip 2026-08-17, BASELINE.md).
+from .projection_kernel import proj_simplex_pallas_t  # noqa: E402
+
+proj_simplex_pallas_b = _fold_scenarios(lambda v, w, r: proj_simplex_pallas_t(v, w, r))
 pava_pallas_b = _fold_scenarios(lambda y, w, r: pava_pallas(y, w, r))
-__all__ += ["proj_simplex_pallas_b", "pava_pallas_b"]
+__all__ += ["proj_simplex_pallas_b", "pava_pallas_b", "proj_simplex_pallas_t"]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["proj_simplex_pallas"]
+__all__ = ["proj_simplex_pallas", "proj_simplex_pallas_t"]
 
 _BIG = 3.0e38
 _N_BISECT = 40
@@ -66,6 +66,79 @@ def _proj_tile_kernel(v_ref, width_ref, radius_ref, out_ref, *, w: int):
     tau = tau + (ssum - radius) / jnp.maximum(nsup, 1.0)
     out = jnp.maximum(v - tau, 0.0)
     out_ref[...] = jnp.where(valid, out, 0.0)
+
+
+def _proj_tile_kernel_t(v_ref, width_ref, radius_ref, out_ref, *, w: int):
+    """Transposed tile: (w, TN) — blocks on LANES (full VPU width), block
+    width w on sublanes.  Same bisection+Newton-polish algorithm as the
+    row-major kernel; reductions run over the sublane axis."""
+    v = v_ref[...]  # (w, TN)
+    width = width_ref[...]  # (1, TN) int32
+    radius = radius_ref[...]  # (1, TN) f32
+    TN = v.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (w, TN), 0)
+    valid = sub < width
+    vm_lo = jnp.where(valid, v, _BIG)
+    vm_hi = jnp.where(valid, v, -_BIG)
+    vmin = jnp.min(vm_lo, axis=0, keepdims=True)  # (1, TN)
+    vmax = jnp.max(vm_hi, axis=0, keepdims=True)
+
+    lo0 = vmin - radius
+    hi0 = vmax
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        s = jnp.sum(jnp.where(valid, jnp.maximum(v - mid, 0.0), 0.0), axis=0,
+                    keepdims=True)
+        too_low = s > radius
+        lo = jnp.where(too_low, mid, lo)
+        hi = jnp.where(too_low, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _N_BISECT, body, (lo0, hi0), unroll=1)
+    tau = 0.5 * (lo + hi)
+    out = jnp.maximum(v - tau, 0.0)
+    ssum = jnp.sum(jnp.where(valid, out, 0.0), axis=0, keepdims=True)
+    nsup = jnp.sum(jnp.where(valid & (out > 0), 1.0, 0.0), axis=0, keepdims=True)
+    tau = tau + (ssum - radius) / jnp.maximum(nsup, 1.0)
+    out = jnp.maximum(v - tau, 0.0)
+    out_ref[...] = jnp.where(valid, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def proj_simplex_pallas_t(
+    v: jnp.ndarray,
+    widths: jnp.ndarray,
+    radius: jnp.ndarray,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lane-major batched projection: rows of v (B, w) projected onto their
+    radius-scaled simplices, with the BLOCK axis mapped to VPU lanes (the
+    row-major kernel wastes (128-w)/128 of each vector op for the small
+    block widths this problem has).  Input/output stay (B, w); the (w, B)
+    transposes are cheap XLA ops outside the kernel."""
+    B, w = v.shape
+    tile = min(tile, max(128, B))
+    pad = (-B) % tile
+    vT = jnp.pad(v, ((0, pad), (0, 0))).T  # (w, Bp)
+    widths = jnp.pad(widths, (0, pad)).reshape(1, -1).astype(jnp.int32)
+    radius = jnp.pad(radius, (0, pad)).reshape(1, -1).astype(v.dtype)
+    Bp = B + pad
+    out = pl.pallas_call(
+        functools.partial(_proj_tile_kernel_t, w=w),
+        out_shape=jax.ShapeDtypeStruct((w, Bp), v.dtype),
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vT, widths, radius)
+    return out.T[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

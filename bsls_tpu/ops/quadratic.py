@@ -28,6 +28,16 @@ __all__ = [
 
 
 def _diag_flat(A) -> jnp.ndarray:
+    from .banded import DeviceBanded
+
+    if isinstance(A, DeviceBanded):
+        parts = []
+        for band, L in zip(A.bands, A.seg_lens):
+            Mp, C, _ = band.shape
+            d = jnp.sum(band * band, axis=-1).reshape(Mp * C)[:L]
+            parts.append(d)
+        d = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return d if A.resid is None else d + _diag_flat(A.resid)
     if isinstance(A, DeviceDense):
         return jnp.sum(A.data * A.data, axis=0)
     if isinstance(A, DeviceEll):
