@@ -177,6 +177,67 @@ def _pad_to(x, n, axis=-1):
     return jnp.pad(x, cfg)
 
 
+# ---- contraction dispatch: Pallas page-streaming kernels on TPU ----
+#
+# XLA lowers the batched tiny GEMVs pathologically (per-batch loops; the
+# fused pgd step measured ~300x off the stream bound and compiled for
+# minutes), so on TPU the contractions go through ops/pallas/banded_kernels
+# with a custom-vmap rule that folds a mapped scenario axis into the
+# kernel's S dimension (one MXU dot per page) instead of serialising.
+
+
+@jax.custom_batching.custom_vmap
+def _zmv(band, seg):  # band (Mp, C, W), seg (Mp, C) -> (Mp, W)
+    from .pallas import use_pallas
+    from .pallas.banded_kernels import band_zmv_pallas
+
+    if use_pallas():
+        return band_zmv_pallas(band, seg[None])[0]
+    return jnp.einsum("gcw,gc->gw", band, seg, preferred_element_type=seg.dtype)
+
+
+@_zmv.def_vmap
+def _zmv_vmap(axis_size, in_batched, band, seg):
+    assert not in_batched[0], "band is never batched"
+    from .pallas import use_pallas
+    from .pallas.banded_kernels import band_zmv_pallas
+
+    if not in_batched[1]:
+        seg = jnp.broadcast_to(seg, (axis_size,) + seg.shape)
+    if use_pallas():
+        return band_zmv_pallas(band, seg), True
+    return (
+        jnp.einsum("gcw,sgc->sgw", band, seg, preferred_element_type=seg.dtype),
+        True,
+    )
+
+
+@jax.custom_batching.custom_vmap
+def _grmv(band, rw):  # band (Mp, C, W), rw (Mp, W) -> (Mp, C)
+    from .pallas import use_pallas
+    from .pallas.banded_kernels import band_grmv_pallas
+
+    if use_pallas():
+        return band_grmv_pallas(band, rw[None])[0]
+    return jnp.einsum("gcw,gw->gc", band, rw, preferred_element_type=rw.dtype)
+
+
+@_grmv.def_vmap
+def _grmv_vmap(axis_size, in_batched, band, rw):
+    assert not in_batched[0], "band is never batched"
+    from .pallas import use_pallas
+    from .pallas.banded_kernels import band_grmv_pallas
+
+    if not in_batched[1]:
+        rw = jnp.broadcast_to(rw, (axis_size,) + rw.shape)
+    if use_pallas():
+        return band_grmv_pallas(band, rw), True
+    return (
+        jnp.einsum("gcw,sgw->sgc", band, rw, preferred_element_type=rw.dtype),
+        True,
+    )
+
+
 def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
     """A_band @ x (no gathers/scatters; residual handled by the caller)."""
     Mp = A.bands[0].shape[0]
@@ -188,9 +249,13 @@ def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
         C = band.shape[1]
         seg = jax.lax.dynamic_slice_in_dim(x_pf, off, L, axis=-1)
         seg = _pad_to(seg, Mp * C).reshape(Mp, C)
-        z = jnp.einsum("gcw,gc->gw", band, seg, preferred_element_type=dt)
+        z = _zmv(band, seg)
         Z = z if Z is None else Z + z
         off += L
+    # materialisation fence: without it XLA's reducer fusion can inline the
+    # whole band contraction into each downstream consumer (measured: the
+    # fused pgd step compiled for minutes and ran 300x slower)
+    Z = jax.lax.optimization_barrier(Z)
     # overlap-add in front-padded page coords (group g starts at padded
     # page g) via wpages STATIC shifted adds (dense update, no scatter)
     pages = jnp.zeros((Mp + wpages, PAGE), dt)
@@ -212,6 +277,7 @@ def banded_rmatvec(A: DeviceBanded, r: jnp.ndarray) -> jnp.ndarray:
     outs = []
     for band, L in zip(A.bands, A.seg_lens):
         C = band.shape[1]
-        g = jnp.einsum("gcw,gw->gc", band, Rw, preferred_element_type=dt)
+        g = _grmv(band, Rw)
+        g = jax.lax.optimization_barrier(g)  # see banded_matvec fence note
         outs.append(g.reshape(Mp * C)[:L])
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]

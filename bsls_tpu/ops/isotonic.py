@@ -97,9 +97,9 @@ def pava_padded(
 def pava_bounded(y: jnp.ndarray, widths: jnp.ndarray, radius) -> jnp.ndarray:
     """[0, radius]-bounded nondecreasing fit of each row's first ``widths``
     slots; fused Pallas kernel on TPU, XLA minimax elsewhere."""
-    from .pallas import pava_pallas_b, use_pallas
+    from .pallas import pava_pallas_b, use_pallas_pava
 
-    if use_pallas():
+    if use_pallas_pava():
         # _b: custom-vmap entry that folds a scenario axis into the grid
         return pava_pallas_b(
             y, widths, jnp.broadcast_to(jnp.asarray(radius, y.dtype), widths.shape)

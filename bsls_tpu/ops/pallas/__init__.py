@@ -1,37 +1,50 @@
 """Pallas TPU kernels + dispatch.
 
-``use_pallas()`` gates the fused kernels to real TPU backends; the XLA
-implementations in ops.projection / ops.isotonic remain the cross-check
-and CPU path (SURVEY.md §7 step 4: keep both, benchmark, pick per bucket).
-Set BSLS_NO_PALLAS=1 to force the XLA path everywhere.
+Two gates (the XLA implementations in ops.projection / ops.isotonic remain
+the cross-check and CPU path — SURVEY.md §7 step 4: keep both, benchmark,
+pick the winner):
+
+* ``use_pallas()`` — the PROJECTION dispatch.  Default ON on real TPU
+  backends since round 2: the lane-major kernel + scenario folding
+  measured 12,957 agg it/s at medium x128 vs 6,867 for XLA (BASELINE.md).
+  Set BSLS_NO_PALLAS=1 to force the XLA path.
+* ``use_pallas_pava()`` — the PAVA dispatch, still opt-in (BSLS_PALLAS=1):
+  the PAVA kernel is bit-correct on-chip but has no lane-major variant
+  yet, and the row-major form loses under scenario vmap.
+
+History: sort-network/tri-matmul/cumsum formulations that pass
+interpret-mode tests mis-lower via this image's Mosaic — keep kernels to
+elementwise ops, masked lane/sublane reductions, and fori_loop(unroll=1).
 """
 from __future__ import annotations
 
 import os
 from functools import lru_cache
 
-__all__ = ["use_pallas", "proj_simplex_pallas", "pava_pallas"]
+__all__ = ["use_pallas", "use_pallas_pava", "proj_simplex_pallas", "pava_pallas"]
 
 
-@lru_cache(maxsize=1)
-def use_pallas() -> bool:
-    # Both kernels are validated bit-correct on real v5e hardware
-    # (2026-08-17) in their bisection/loop formulations.  Dispatch stays
-    # opt-in (BSLS_PALLAS=1): measured head-to-head at the benchmark config
-    # (medium x128 scenarios) the XLA paths win 5851 vs 1619 it/s — vmapped
-    # pallas_call serialises over the scenario batch, and the sparse-matvec
-    # gathers (not the projection) dominate anyway.  History: sort-network/
-    # tri-matmul/cumsum formulations that pass interpret-mode tests
-    # mis-lower via this image's Mosaic — keep kernels to elementwise ops,
-    # masked lane reductions, and fori_loop(unroll=1).
-    if os.environ.get("BSLS_PALLAS", "") != "1":
-        return False
+def _on_tpu() -> bool:
     try:
         import jax
 
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+@lru_cache(maxsize=1)
+def use_pallas() -> bool:
+    if os.environ.get("BSLS_NO_PALLAS", "") == "1":
+        return False
+    return _on_tpu()
+
+
+@lru_cache(maxsize=1)
+def use_pallas_pava() -> bool:
+    if os.environ.get("BSLS_NO_PALLAS", "") == "1":
+        return False
+    return os.environ.get("BSLS_PALLAS", "") == "1" and _on_tpu()
 
 
 from .pava_kernel import pava_pallas  # noqa: E402
