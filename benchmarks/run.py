@@ -77,7 +77,7 @@ def main(argv=None):
     overrides = {
         k: getattr(args, k)
         for k in (
-            "config method line_search tol max_iter chunk seed oracle profile_dir "
+            "config method line_search tol max_iter chunk unroll seed oracle profile_dir "
             "metrics_path checkpoint_path checkpoint_every resume mesh_block mesh_scenario"
         ).split()
         if getattr(args, k) is not None

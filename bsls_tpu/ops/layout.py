@@ -289,8 +289,9 @@ def _build_row_ell(rows_pf, vals_pf, num_rows: int, n_shards: int):
     shard = pf_pos // n_loc
     local = (pf_pos % n_loc).astype(np.int32)
     key = shard.astype(np.int64) * num_rows + r
-    counts = np.bincount(r, minlength=num_rows)
-    if counts.max() > ROW_ELL_MAX_K:
+    # reject on the PER-(shard,row) width (a popular row split across
+    # shards is still fine), before group_ell allocates the (G, W) arrays
+    if np.bincount(key, minlength=n_shards * num_rows).max() > ROW_ELL_MAX_K:
         return None, None
     mv_cols, mv_vals = group_ell(key, local, v, n_shards * num_rows)
     kr = mv_cols.shape[1]
@@ -522,19 +523,31 @@ def _prepare_banded(
     A0: EllMatrix = problem.A
     # per-block window page: min nonzero row page over the block's columns
     nzmask = np.asarray(A0.vals) != 0
-    col_min = np.where(nzmask, np.asarray(A0.rows), np.iinfo(np.int32).max).min(axis=1)
+    rows_h = np.asarray(A0.rows)
+    col_min = np.where(nzmask, rows_h, np.iinfo(np.int32).max).min(axis=1)
+    col_max = np.where(nzmask, rows_h, -1).max(axis=1)
     offsets = np.concatenate([[0], np.cumsum(part.sizes)])[:-1]
     Mp = -(-A0.num_rows // PAGE)
     block_page = np.clip(np.minimum.reduceat(col_min, offsets) // PAGE, 0, Mp - 1)
 
+    # cheap pre-screens BEFORE building the grouped partition (the full
+    # banded attempt costs ~1 s of host work on the standard medium config
+    # — don't pay it for instances that can't possibly qualify):
+    # (a) nnz-weighted fraction of columns whose row span fits any window
+    col_nnz = nzmask.sum(axis=1)
+    span_ok = (col_max - col_min) <= 7 * PAGE  # max_pages=8 window
+    frac_ok = float(col_nnz[span_ok & (col_nnz > 0)].sum()) / max(col_nnz.sum(), 1)
+    if frac_ok < fit_threshold and not force:
+        return None
+    # (b) band memory at the value-grouped inflation (bpp = max page load)
+    bpp = int(np.bincount(block_page, minlength=Mp).max())
+    est_bytes = Mp * bpp * float(np.mean(part.sizes) + 2) * 1024 * 4
+    if est_bytes > band_budget_bytes and not force:
+        return None
+
     # value-grouped partition: a block's PF row exactly encodes its window
     # page, so the banded ladder is exact (groups padded to max page load)
     part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp)
-    est_bytes = sum(
-        Mp * max(-(-b.num_blocks * b.width // Mp), 1) * 1024 * 4 for b in part2.buckets
-    )
-    if est_bytes > band_budget_bytes and not force:
-        return None
 
     perm = build_pf_perm(part2, 1)
     if equilibrate:

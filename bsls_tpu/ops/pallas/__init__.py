@@ -8,9 +8,9 @@ pick the winner):
   backends since round 2: the lane-major kernel + scenario folding
   measured 12,957 agg it/s at medium x128 vs 6,867 for XLA (BASELINE.md).
   Set BSLS_NO_PALLAS=1 to force the XLA path.
-* ``use_pallas_pava()`` — the PAVA dispatch, still opt-in (BSLS_PALLAS=1):
-  the PAVA kernel is bit-correct on-chip but has no lane-major variant
-  yet, and the row-major form loses under scenario vmap.
+* ``use_pallas_pava()`` — the PAVA dispatch, also default ON since the
+  lane-major variant (pava_pallas_t) validated bit-correct on-chip
+  (maxdiff 9.5e-7 at (400k, 8)) and beat the XLA path 1.40 vs 1.54 ms.
 
 History: sort-network/tri-matmul/cumsum formulations that pass
 interpret-mode tests mis-lower via this image's Mosaic — keep kernels to
@@ -44,7 +44,7 @@ def use_pallas() -> bool:
 def use_pallas_pava() -> bool:
     if os.environ.get("BSLS_NO_PALLAS", "") == "1":
         return False
-    return os.environ.get("BSLS_PALLAS", "") == "1" and _on_tpu()
+    return _on_tpu()
 
 
 from .pava_kernel import pava_pallas  # noqa: E402
@@ -84,8 +84,9 @@ def _fold_scenarios(impl):
 # The projection uses the lane-major (transposed) kernel — blocks on VPU
 # lanes: 5.9x the XLA projection and 17x the row-major kernel at the folded
 # S=128 scale (measured on-chip 2026-08-17, BASELINE.md).
+from .pava_kernel import pava_pallas_t  # noqa: E402
 from .projection_kernel import proj_simplex_pallas_t  # noqa: E402
 
 proj_simplex_pallas_b = _fold_scenarios(lambda v, w, r: proj_simplex_pallas_t(v, w, r))
-pava_pallas_b = _fold_scenarios(lambda y, w, r: pava_pallas(y, w, r))
+pava_pallas_b = _fold_scenarios(lambda y, w, r: pava_pallas_t(y, w, r))
 __all__ += ["proj_simplex_pallas_b", "pava_pallas_b", "proj_simplex_pallas_t"]

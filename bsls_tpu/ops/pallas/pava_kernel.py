@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pava_pallas"]
+__all__ = ["pava_pallas", "pava_pallas_t"]
 
 _BIG = 3.0e38
 
@@ -68,6 +68,78 @@ def _pava_tile_kernel(y_ref, width_ref, radius_ref, out_ref, *, w: int):
     _, out = jax.lax.fori_loop(0, w, body, (runmax0, out0), unroll=1)
     out = jnp.clip(out, 0.0, radius)
     out_ref[...] = jnp.where(valid, out, 0.0)
+
+
+def _pava_tile_kernel_t(y_ref, width_ref, radius_ref, out_ref, *, w: int):
+    """Lane-major tile: (w, TN) — blocks on LANES (full VPU width), slot
+    index on sublanes.  Same minimax evaluation as the row-major kernel
+    with every reduction flipped to the sublane axis."""
+    y = y_ref[...]  # (w, TN)
+    width = width_ref[...]  # (1, TN) int32
+    radius = radius_ref[...]  # (1, TN) f32
+    TN = y.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (w, TN), 0)
+    valid = sub < width
+    y0 = jnp.where(valid, y, 0.0)
+
+    # inclusive prefix sums css[k, :] = sum_{t<=k} y0[t, :], via a w-step loop
+    def pbody(i, css):
+        E = jnp.sum(jnp.where(sub == i, y0, 0.0), axis=0, keepdims=True)
+        return css + jnp.where(sub >= i, E, 0.0)
+
+    css = jax.lax.fori_loop(0, w, pbody, jnp.zeros((w, TN), y.dtype), unroll=1)
+
+    def body(i, carry):
+        runmax, out = carry
+        # E = sum_{t<i} y_t  (exclusive prefix at i)
+        E = jnp.sum(jnp.where(sub == i, css - y0, 0.0), axis=0, keepdims=True)
+        denom = jnp.maximum(sub - i + 1, 1).astype(y.dtype)
+        Mi = (css - E) / denom  # mean(y[i..k]) for k >= i
+        Mi = jnp.where(sub >= i, Mi, -_BIG)
+        runmax = jnp.maximum(runmax, Mi)  # A[i, k] = max_{j<=i} mean(j..k)
+        cand = jnp.where((sub >= i) & valid, runmax, _BIG)
+        mn = jnp.min(cand, axis=0, keepdims=True)
+        out = jnp.where(sub == i, mn, out)
+        return runmax, out
+
+    runmax0 = jnp.full((w, TN), -_BIG, y.dtype)
+    out0 = jnp.zeros((w, TN), y.dtype)
+    _, out = jax.lax.fori_loop(0, w, body, (runmax0, out0), unroll=1)
+    out = jnp.clip(out, 0.0, radius)
+    out_ref[...] = jnp.where(valid, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pava_pallas_t(
+    y: jnp.ndarray,
+    widths: jnp.ndarray,
+    radius: jnp.ndarray,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lane-major batched bounded PAVA (blocks on VPU lanes; cheap XLA
+    transposes outside the kernel — same production form as
+    proj_simplex_pallas_t)."""
+    B, w = y.shape
+    tile = min(tile, max(128, B))
+    pad = (-B) % tile
+    yT = jnp.pad(y, ((0, pad), (0, 0))).T  # (w, Bp)
+    widths = jnp.pad(widths, (0, pad)).reshape(1, -1).astype(jnp.int32)
+    radius = jnp.pad(radius, (0, pad)).reshape(1, -1).astype(y.dtype)
+    Bp = B + pad
+    out = pl.pallas_call(
+        functools.partial(_pava_tile_kernel_t, w=w),
+        out_shape=jax.ShapeDtypeStruct((w, Bp), y.dtype),
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(yT, widths, radius)
+    return out.T[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -287,9 +287,21 @@ def solve_sharded(
     if isinstance(problem, Problem) and problem.C is not None:
         from ..solvers.eq_constrained import solve_equality_constrained
 
+        unsupported = {
+            "shard_rows": shard_rows, "x0": x0 is not None,
+            "checkpoint_path": checkpoint_path is not None, "resume": resume,
+            "metrics": metrics is not None,
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        if bad:
+            raise NotImplementedError(
+                f"sharded equality-constrained solve does not support {bad}; "
+                "run the AL loop manually (solvers.eq_constrained) or drop them"
+            )
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
+            unroll=unroll,
         )
 
     single_rhs = np.asarray(problem.b).ndim == 1

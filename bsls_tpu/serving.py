@@ -87,7 +87,9 @@ class Endpoint:
 
             from .solvers.eq_constrained import solve_equality_constrained
 
-            b = np.asarray(b, dtype=np.float32)
+            import jax.numpy as jnp
+
+            b = np.asarray(b, dtype=np.dtype(jnp.dtype(self.dtype).name))
             if b.shape[-1] != self._m:
                 raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
             prob = dc_replace(self._problem, b=b)

@@ -92,13 +92,16 @@ class StopTracker:
 
     A scenario counts as converged when either
       * its relative FW gap is <= tol  (sound optimality certificate), or
-      * (stop_rule "stall"/"auto") its objective decreased by less than
-        ``stall_frac * tol * max(1, |f|)`` over each of ``patience``
-        consecutive chunks — the practical criterion: the FW-gap
-        certificate is loose on ill-conditioned instances (it stalls ~1e1
-        while the objective sits at 1e-6 of f*, see BASELINE.md), so
-        gap-only stopping would always exhaust max_iter there.
-    ``stop_rule="gap"`` restores certificate-only stopping.
+      * (stop_rule "stall"/"auto") its RUNNING-BEST objective improved by
+        less than ``stall_frac * tol * max(1, |f|)`` over each of
+        ``patience`` consecutive chunks — the practical criterion: the
+        FW-gap certificate is loose on ill-conditioned instances (it
+        stalls ~1e1 while the objective sits at 1e-6 of f*, see
+        BASELINE.md), so gap-only stopping would always exhaust max_iter
+        there.  Tracking the best (not last) objective keeps non-monotone
+        methods (bb) from registering oscillation as progress — though a
+        chunk-scale plateau mid-oscillation can still stop early; use
+        stop_rule="gap" for certificate-only stopping.
     """
 
     def __init__(self, tol: float, stop_rule: str = "auto", patience: int = 2,
@@ -111,7 +114,7 @@ class StopTracker:
         self.rule = stop_rule if tol > 0 else "gap"
         self.patience = patience
         self.thresh = stall_frac * tol
-        self._f_prev = None
+        self._f_best = None
         self._stall = None
         self.reason = "max_iter"
 
@@ -121,10 +124,13 @@ class StopTracker:
         gap_ok = rel_gap <= self.tol
         if self._stall is None:
             self._stall = np.zeros(f_last.shape, np.int64)
-        if self._f_prev is not None:
-            df = (self._f_prev - f_last) / np.maximum(1.0, np.abs(f_last))
+        if self._f_best is not None:
+            new_best = np.minimum(self._f_best, f_last)
+            df = (self._f_best - new_best) / np.maximum(1.0, np.abs(new_best))
             self._stall = np.where(df <= self.thresh, self._stall + 1, 0)
-        self._f_prev = f_last
+            self._f_best = new_best
+        else:
+            self._f_best = f_last
         stalled = self._stall >= self.patience
         if self.rule == "gap":
             done = gap_ok

@@ -89,3 +89,44 @@ def test_transposed_projection_kernel_matches_reference(w):
         want = radius[i] * proj_simplex_np(v[i, :n].astype(np.float64) / radius[i])
         np.testing.assert_allclose(got[i, :n], want, atol=3e-5)
         np.testing.assert_allclose(got[i, n:], 0.0)
+
+
+@pytest.mark.parametrize("w", [2, 5, 8, 16])
+def test_transposed_pava_kernel_matches_reference(w):
+    """Lane-major PAVA variant (the production batched form)."""
+    B = 260
+    y = (RNG.standard_normal((B, w)) * 2).astype(np.float32)
+    widths = RNG.integers(1, w + 1, size=B).astype(np.int32)
+    radius = RNG.uniform(0.5, 3.0, size=B).astype(np.float32)
+    from bsls_tpu.ops.pallas.pava_kernel import pava_pallas_t
+
+    got = np.asarray(
+        pava_pallas_t(jnp.asarray(y), jnp.asarray(widths), jnp.asarray(radius),
+                      tile=128, interpret=True)
+    )
+    for i in range(0, B, 13):
+        n = widths[i]
+        want = np.clip(pava_np(y[i, :n].astype(np.float64)), 0, radius[i])
+        np.testing.assert_allclose(got[i, :n], want, atol=3e-5)
+        np.testing.assert_allclose(got[i, n:], 0.0)
+
+
+@pytest.mark.parametrize("S", [1, 3])
+def test_banded_page_kernels_match_einsum(S):
+    """Pallas page-streaming banded contractions (ops/pallas/banded_kernels)
+    vs the XLA einsum reference, interpret mode."""
+    from bsls_tpu.ops.pallas.banded_kernels import band_grmv_pallas, band_zmv_pallas
+
+    rng = np.random.default_rng(7)
+    Mp, C, W = 6, 10, 32
+    band = jnp.asarray(rng.standard_normal((Mp, C, W)), jnp.float32)
+    xg = jnp.asarray(rng.standard_normal((S, Mp, C)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((S, Mp, W)), jnp.float32)
+    z = band_zmv_pallas(band, xg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(jnp.einsum("gcw,sgc->sgw", band, xg)), atol=2e-5
+    )
+    g = band_grmv_pallas(band, rw, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(jnp.einsum("gcw,sgw->sgc", band, rw)), atol=2e-5
+    )
