@@ -14,3 +14,4 @@ __all__ = [
     "oracle_solve",
     "synthetic",
 ]
+from .reorder import estimate_bandability, reorder_rows_rcm  # noqa: E402,F401

@@ -99,3 +99,31 @@ def test_banded_forced_and_gather_agree(banded_prob):
     np.testing.assert_allclose(
         float(rb.objective), float(rg.objective), rtol=5e-4, atol=1e-6
     )
+
+
+def test_rcm_recovers_bandability():
+    """RCM row reordering turns a row-shuffled corridor instance back into
+    a banded-selectable one; solutions are unchanged (rows are semantically
+    order-free)."""
+    from dataclasses import replace
+
+    from bsls_tpu.models.problem import EllMatrix
+    from bsls_tpu.models.reorder import estimate_bandability, reorder_rows_rcm
+
+    prob = synthetic.medium_banded(num_blocks=300, m=3000, spread=100, seed=6)
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(prob.A.shape[0])
+    rank = np.empty(perm.size, np.int64)
+    rank[perm] = np.arange(perm.size)
+    A_shuf = EllMatrix(rows=rank[np.asarray(prob.A.rows)].astype(np.int32),
+                       vals=np.asarray(prob.A.vals), num_rows=prob.A.num_rows)
+    p_shuf = replace(prob, A=A_shuf, b=np.asarray(prob.b)[perm])
+    assert estimate_bandability(p_shuf.A) < 0.2
+    assert not isinstance(L.prepare(p_shuf).A, DeviceBanded)
+
+    p_rcm = reorder_rows_rcm(p_shuf)
+    assert estimate_bandability(p_rcm.A) > 0.9
+    assert isinstance(L.prepare(p_rcm).A, DeviceBanded)
+    r1 = bsls.solve(p_shuf, method="pgd", line_search="bbm", tol=0.0, max_iter=300)
+    r2 = bsls.solve(p_rcm, method="pgd", line_search="bbm", tol=0.0, max_iter=300)
+    np.testing.assert_allclose(float(r1.objective), float(r2.objective), rtol=2e-3)
