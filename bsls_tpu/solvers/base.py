@@ -240,11 +240,17 @@ def solve(
     resume: bool = False,
     metrics=None,
     stop_rule: str = "auto",
+    certify: int = 0,
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
     Multi-RHS problems (b of shape (S, m)) are vmapped over scenarios.
     For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
+
+    ``certify=K`` runs K pairwise-FW polish steps after the main solve to
+    tighten the duality-gap certificate (orders of magnitude at equal or
+    better objective); the returned ``gap`` is then a tight sound bound
+    f(x) - f* <= gap.
     """
     if isinstance(problem, Problem) and problem.C is not None:
         from .eq_constrained import solve_equality_constrained
@@ -358,6 +364,36 @@ def solve(
         from ..utils.checkpoint import save_state
 
         save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
+
+    certified_gap = None
+    if certify and method not in ("afw", "pairwise", "pairwise_fw"):
+        # certificate polish: a short pairwise-FW phase from the current
+        # iterate.  The FW duality gap g.(x-s) is sound but loose at a
+        # PGD-family iterate (residual mass on suboptimal coordinates
+        # inflates it ~1e3x, BASELINE.md); pairwise transfers drain exactly
+        # those coordinates, so ~100 afw steps tighten the certificate by
+        # orders of magnitude at equal-or-better objective (round-2 sweep:
+        # gap 5.25 -> 0.0074 at objective parity).
+        from . import frank_wolfe as _fw
+
+        opts_c = SolveOptions(
+            method="afw", line_search="exact", tol=0.0,
+            max_iter=certify, chunk=certify, unroll=opts.unroll,
+        )
+        if multi:
+            state_c = jax.vmap(
+                lambda b, xx: _fw.init(replace(dp, b=b), L_est, opts_c, xp0=xx)
+            )(dp.b, state.xp)
+            state_c, _ = _run_chunk_multi(dp, state_c, L_est, opts_c, "afw", certify)
+        else:
+            state_c = _fw.init(dp, L_est, opts_c, xp0=state.xp)
+            state_c, _ = _run_chunk(dp, state_c, L_est, opts_c, "afw", certify)
+        f_c = np.asarray(state_c.f)
+        better = f_c <= np.asarray(state.f) + 1e-12
+        if bool(np.all(better)):
+            state = state._replace(xp=state_c.xp, r=state_c.r, f=state_c.f,
+                                   gap=state_c.gap)
+        certified_gap = np.asarray(state_c.gap)
 
     axis = 1 if multi else 0
     if not traces_f:  # resumed past max_iter: nothing ran this call

@@ -168,3 +168,18 @@ def test_time_to_gap_metric(tiny):
     res = bsls.solve(prob, method="pgd", tol=1e-7, max_iter=4000, chunk=200)
     t = res.time_to_gap(orc.objective, rel=1e-6)
     assert t is not None and t >= 0.0
+
+
+def test_certify_polish_tightens_gap():
+    """certify=K runs a pairwise-FW polish that tightens the duality-gap
+    certificate by orders of magnitude at equal-or-better objective (on the
+    ill-conditioned demand-scaled instances where the raw gap is loose)."""
+    prob = synthetic.medium_sparse(seed=0, num_blocks=400, m=3000)
+    orc = oracle_solve(prob, tol_gap=1e-9, max_iter=30000)
+    r0 = bsls.solve(prob, method="pgd", line_search="bbm", tol=1e-8, max_iter=2000)
+    r1 = bsls.solve(prob, method="pgd", line_search="bbm", tol=1e-8, max_iter=2000,
+                    certify=150)
+    assert float(r1.gap) < 0.1 * float(r0.gap), (r1.gap, r0.gap)
+    assert float(r1.objective) <= float(r0.objective) + 1e-6
+    # the certificate is sound: f - f* <= gap
+    assert float(r1.objective) - orc.objective <= float(r1.gap) + 1e-6
