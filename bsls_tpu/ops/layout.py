@@ -100,6 +100,7 @@ class DeviceEll:
     mv_vals: Optional[object]  # matching values
     num_rows: int  # static
     row_sharded: bool = False  # static: leading axis of ALL arrays is a row shard
+    grid_sharded: bool = False  # static: leading TWO axes are (row, col) shards
     # col-nnz-bucketed A^T r copy (unsharded instances): columns sorted by
     # nonzero count into a few width groups so padding slots are never
     # gathered; partials concatenate in sorted-column order and one final
@@ -114,7 +115,7 @@ class DeviceEll:
 _register(
     DeviceEll,
     ["rows", "vals", "mv_cols", "mv_vals", "rt_rows", "rt_vals", "rt_inv"],
-    ["num_rows", "row_sharded", "rt_zeros"],
+    ["num_rows", "row_sharded", "grid_sharded", "rt_zeros"],
 )
 
 ROW_ELL_MAX_K = 512
@@ -386,6 +387,41 @@ def _build_ell_row_sharded(rows_pf, vals_pf, num_rows: int, nr: int):
     return rows3, vals3, mv_cols3, mv_vals3
 
 
+def _build_ell_2d(rows_pf, vals_pf, num_rows: int, nr: int, nc: int):
+    """Re-encode a PF column-ELL into an (nr x nc) shard grid — the 2-D
+    sharded matvec of SURVEY.md §2b (ring-attention-analog): each device
+    owns the (row-shard, col-shard) tile of A, computes its partial of
+    both matvecs locally, and the collectives split by axis (A@x psums
+    over cols, A^T r psums over rows).
+
+    Returns (rows4, vals4, mv_cols4, mv_vals4):
+      rows4/vals4:       (nr, nc, n_loc, ks) — col orientation, LOCAL rows
+      mv_cols4/mv_vals4: (nr, nc, m_loc, kr) — row orientation, LOCAL cols
+    """
+    from ..native import group_ell
+
+    n_pf, k = rows_pf.shape
+    assert n_pf % nc == 0 and num_rows % nr == 0
+    n_loc, m_loc = n_pf // nc, num_rows // nr
+    nz = vals_pf != 0
+    pf_pos = np.broadcast_to(np.arange(n_pf)[:, None], (n_pf, k))[nz].astype(np.int64)
+    r = rows_pf[nz].astype(np.int64)
+    v = vals_pf[nz]
+    rshard, local_r = r // m_loc, (r % m_loc).astype(np.int32)
+    cshard, local_c = pf_pos // n_loc, (pf_pos % n_loc).astype(np.int32)
+    tile = rshard * nc + cshard
+
+    def ell_by(dim2, idx_b, payload):
+        cols, vals = group_ell(tile * dim2 + idx_b, payload[0], payload[1],
+                               nr * nc * dim2)
+        w = cols.shape[1]
+        return cols.reshape(nr, nc, dim2, w), vals.reshape(nr, nc, dim2, w)
+
+    rows4, vals4 = ell_by(n_loc, local_c.astype(np.int64), (local_r, v))
+    mv_cols4, mv_vals4 = ell_by(m_loc, local_r.astype(np.int64), (local_c, v))
+    return rows4, vals4, mv_cols4, mv_vals4
+
+
 def to_device_matrix(
     M, perm: np.ndarray, dtype=jnp.float32, col_scale=None, n_shards: int = 1,
     row_bucket: bool = False, row_shards: int = 1, _out: Optional[dict] = None,
@@ -419,6 +455,18 @@ def to_device_matrix(
                 raise ValueError(
                     f"num_rows={M.num_rows} not divisible by row_shards="
                     f"{row_shards}; pad the instance rows first"
+                )
+            if n_shards > 1:  # 2-D (row x col) shard grid
+                r4, v4, mc4, mv4 = _build_ell_2d(
+                    rows, vals, M.num_rows, row_shards, n_shards
+                )
+                return DeviceEll(
+                    rows=jnp.asarray(r4),
+                    vals=jnp.asarray(v4, dtype=dtype),
+                    mv_cols=jnp.asarray(mc4),
+                    mv_vals=jnp.asarray(mv4, dtype=dtype),
+                    num_rows=M.num_rows,
+                    grid_sharded=True,
                 )
             r3, v3, mc3, mv3 = _build_ell_row_sharded(rows, vals, M.num_rows, row_shards)
             return DeviceEll(
@@ -800,6 +848,25 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         return A.data @ x
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
+    if A.grid_sharded:
+        # (row, col) tile: local partial over this tile's rows from this
+        # col shard's x; matvec_ps psums over the col axis.  Global view
+        # (testing): sum over col shards, concat over row shards.
+        nr, nc = A.mv_cols.shape[:2]
+        if nr == 1 and nc == 1:
+            return gather_dot(A.mv_vals[0, 0], A.mv_cols[0, 0], x)
+        n_loc = x.shape[-1] // nc
+        parts = []
+        for rsh in range(nr):
+            y = sum(
+                gather_dot(
+                    A.mv_vals[rsh, c], A.mv_cols[rsh, c],
+                    x[..., c * n_loc : (c + 1) * n_loc],
+                )
+                for c in range(nc)
+            )
+            parts.append(y)
+        return jnp.concatenate(parts, axis=-1)
     if A.row_sharded:
         # x replicated; each shard produces its own local row segment.  A
         # global (nr>1) view concatenates the segments (full-m result).
@@ -842,6 +909,22 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         return A.data.T @ r
     if isinstance(A, DeviceVStack):
         return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
+    if A.grid_sharded:
+        nr, nc = A.rows.shape[:2]
+        if nr == 1 and nc == 1:
+            return gather_dot(A.vals[0, 0], A.rows[0, 0], r)
+        m_loc = r.shape[-1] // nr
+        outs = []
+        for c in range(nc):
+            g = sum(
+                gather_dot(
+                    A.vals[rsh, c], A.rows[rsh, c],
+                    r[..., rsh * m_loc : (rsh + 1) * m_loc],
+                )
+                for rsh in range(nr)
+            )
+            outs.append(g)
+        return jnp.concatenate(outs, axis=-1)
     if A.row_sharded:
         nr = A.rows.shape[0]
         if nr == 1:

@@ -41,6 +41,9 @@ def _diag_flat(A) -> jnp.ndarray:
     if isinstance(A, DeviceDense):
         return jnp.sum(A.data * A.data, axis=0)
     if isinstance(A, DeviceEll):
+        if A.grid_sharded:  # (nr, nc, n_loc, ks): row-partials, cols concat
+            d = jnp.sum(A.vals * A.vals, axis=(0, -1))  # (nc, n_loc)
+            return d.reshape(-1)
         if A.row_sharded:  # (nr, n_pf, ks): per-shard partials (psum'd by caller)
             return jnp.sum(A.vals * A.vals, axis=(0, -1))
         return jnp.sum(A.vals * A.vals, axis=-1)

@@ -25,7 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.problem import Problem
 from ..ops import layout as L
-from .mesh import BLOCK_AXIS, SCENARIO_AXIS
+from .mesh import BLOCK_AXIS, ROW_AXIS, SCENARIO_AXIS
 
 __all__ = ["shard_problem", "solve_sharded"]
 
@@ -79,6 +79,31 @@ _LEAF_SPECS_ROWS = {
     "perm": P(None),
 }
 
+# 2-D (row x col) sharding: the full SURVEY §2b pattern — every device owns
+# one (row-shard, col-shard) tile of A; A@x psums over 'block' (cols) to
+# assemble this row shard's residual segment, A^T r psums over 'row'.
+_LEAF_SPECS_2D = {
+    "data": P(ROW_AXIS, BLOCK_AXIS),  # dense A tiles
+    "rows": P(ROW_AXIS, BLOCK_AXIS, None, None),  # ELL tile grid
+    "vals": P(ROW_AXIS, BLOCK_AXIS, None, None),
+    "mv_cols": P(ROW_AXIS, BLOCK_AXIS, None, None),
+    "mv_vals": P(ROW_AXIS, BLOCK_AXIS, None, None),
+    "bottom_scale": P(),
+    "mask": P(BLOCK_AXIS, None),
+    "sizes": P(BLOCK_AXIS),
+    "radius": P(BLOCK_AXIS),
+    "b": P(SCENARIO_AXIS, ROW_AXIS),
+    "perm": P(BLOCK_AXIS),
+}
+
+_KIND_SPECS_2D = {
+    "x": P(SCENARIO_AXIS, BLOCK_AXIS, None),  # x by block, replicated over rows
+    "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "r": P(SCENARIO_AXIS, ROW_AXIS),  # residual by row shard
+    "scalar": P(SCENARIO_AXIS),
+}
+
+
 def _path_name(path) -> str:
     for entry in reversed(path):
         name = getattr(entry, "name", None)
@@ -88,9 +113,9 @@ def _path_name(path) -> str:
     return ""
 
 
-def dp_specs(dp: L.DeviceProblem, rows: bool = False):
+def dp_specs(dp: L.DeviceProblem, rows: bool = False, grid: bool = False):
     """PartitionSpec pytree matching a DeviceProblem."""
-    table = _LEAF_SPECS_ROWS if rows else _LEAF_SPECS
+    table = _LEAF_SPECS_2D if grid else (_LEAF_SPECS_ROWS if rows else _LEAF_SPECS)
 
     def spec_for(path, leaf):
         name = _path_name(path)
@@ -101,7 +126,7 @@ def dp_specs(dp: L.DeviceProblem, rows: bool = False):
     return jax.tree_util.tree_map_with_path(spec_for, dp)
 
 
-def state_specs(state, rows: bool = False):
+def state_specs(state, rows: bool = False, grid: bool = False):
     """PartitionSpec pytree for a solver state (leading scenario axis).
 
     Specs derive from the state class's ``SHARD_KINDS`` protocol — a dict
@@ -118,7 +143,7 @@ def state_specs(state, rows: bool = False):
             "declare a field->kind dict (kinds: x, xflat, r, scalar) to run "
             "under a mesh"
         )
-    table = _KIND_SPECS_ROWS if rows else _KIND_SPECS
+    table = _KIND_SPECS_2D if grid else (_KIND_SPECS_ROWS if rows else _KIND_SPECS)
     specs = {}
     for fname, val in state._asdict().items():
         if fname not in kinds:
@@ -212,6 +237,52 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
     return dp, problem.partition
 
 
+def shard_problem_2d(problem: Problem, mesh, dtype=jnp.float32):
+    """2-D (row x col) sharded preparation: every device owns one tile of A
+    (ELL re-encoded per tile with local row AND local column ids; dense A
+    sliced by NamedSharding).  Rows pad to the row axis; the partition pads
+    to the block axis."""
+    from ..models.partition import BlockPartition
+    from ..models.problem import DenseMatrix, EllMatrix
+
+    nr = mesh.shape[ROW_AXIS]
+    nc = mesh.shape[BLOCK_AXIS]
+    ns = mesh.shape[SCENARIO_AXIS]
+    part = problem.partition
+    if any(bk.num_blocks % nc for bk in part.buckets):
+        part = BlockPartition.from_sizes(part.sizes, block_multiple=nc)
+        problem = replace(problem, partition=part)
+    b = np.asarray(problem.b)
+    if b.ndim == 1:
+        b = b[None, :]
+    if b.shape[0] % ns:
+        raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
+    m = problem.A.shape[0]
+    pad = (-m) % nr
+    A = problem.A
+    if isinstance(A, DenseMatrix):
+        if pad:
+            A = DenseMatrix(np.concatenate(
+                [A.data, np.zeros((pad, A.data.shape[1]), A.data.dtype)], axis=0))
+    elif isinstance(A, EllMatrix):
+        if pad:
+            A = EllMatrix(rows=A.rows, vals=A.vals, num_rows=m + pad)
+    else:
+        raise NotImplementedError(f"2-D sharding supports dense/ELL A, got {type(A)}")
+    if pad:
+        b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)], axis=1)
+    problem = replace(problem, A=A, b=b)
+    dp = L.prepare(
+        problem, dtype=dtype, n_shards=nc, col_axis=BLOCK_AXIS,
+        row_axis=ROW_AXIS, row_shards=nr,
+    )
+    specs = dp_specs(dp, grid=True)
+    dp = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
+    )
+    return dp, part
+
+
 # ---------------- sharded driver ----------------
 
 
@@ -229,7 +300,12 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
         m = b.mask.astype(bool)
         vals = x_user[:, b.pad_to_flat] * radius[None, :, None]
         arr[:, m] = vals[:, m]
-        spec = _KIND_SPECS_ROWS["x"] if dp.row_axis else _KIND_SPECS["x"]
+        if dp.row_axis and dp.col_axis:
+            spec = _KIND_SPECS_2D["x"]
+        elif dp.row_axis:
+            spec = _KIND_SPECS_ROWS["x"]
+        else:
+            spec = _KIND_SPECS["x"]
         out.append(jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec)))
     return tuple(out)
 
@@ -305,7 +381,12 @@ def solve_sharded(
         )
 
     single_rhs = np.asarray(problem.b).ndim == 1
-    if shard_rows:
+    grid = dict(mesh.shape).get(ROW_AXIS, 1) > 1
+    if grid and shard_rows:
+        raise ValueError("use either a row>1 mesh axis (2-D) or shard_rows, not both")
+    if grid:
+        dp, part = shard_problem_2d(problem, mesh, dtype=dtype)
+    elif shard_rows:
         dp, part = shard_problem_rows(problem, mesh, dtype=dtype)
     else:
         dp, part = shard_problem(problem, mesh, dtype=dtype)
@@ -314,7 +395,7 @@ def solve_sharded(
         max_iter=max_iter, chunk=chunk, step_size=step_size, unroll=unroll,
     )
     solver = _get_solver(method)
-    dspecs = dp_specs(dp, rows=shard_rows)
+    dspecs = dp_specs(dp, rows=shard_rows, grid=grid)
 
     lips = jax.jit(
         jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
@@ -334,7 +415,7 @@ def solve_sharded(
         )(d.b),
         dp,
     )
-    sspecs = state_specs(state_struct, rows=shard_rows)
+    sspecs = state_specs(state_struct, rows=shard_rows, grid=grid)
 
     init_fn = jax.jit(
         jax.shard_map(_init, mesh=mesh, in_specs=(dspecs, P()), out_specs=sspecs)

@@ -187,3 +187,29 @@ def test_sharded_equality_constrained(eight_devices):
     assert float(r4.objective) <= 1e-9 * f0
     np.testing.assert_allclose(float(r4.objective), float(r0.objective),
                                rtol=0.5, atol=1e-3)
+
+
+def test_2d_grid_sharded_ell(eight_devices):
+    """Full 2-D sharded matvec (SURVEY §2b): (row=2, block=2, scenario=2)
+    mesh; A@x psums over 'block', A^T r psums over 'row'."""
+    mesh = make_mesh(row=2, block=2, scenario=2, devices=eight_devices)
+    prob = synthetic.medium_sparse(seed=12, num_blocks=160, m=1600)
+    from bsls_tpu.models.synthetic import with_scenarios
+
+    p4 = with_scenarios(prob, 4, seed=2)
+    r2d = solve_sharded(p4, mesh, method="pgd", tol=0.0, max_iter=300)
+    r1d = bsls.solve(p4, method="pgd", tol=0.0, max_iter=300)
+    np.testing.assert_allclose(
+        np.asarray(r2d.objective), np.asarray(r1d.objective), rtol=5e-4
+    )
+
+
+def test_2d_grid_sharded_dense(eight_devices):
+    mesh = make_mesh(row=2, block=4, scenario=1, devices=eight_devices)
+    prob = synthetic.tiny_dense(seed=13, num_blocks=32, dim=4, m=203)  # pad path
+    r2d = solve_sharded(prob, mesh, method="apgd", tol=0.0, max_iter=300)
+    r1d = bsls.solve(prob, method="apgd", tol=0.0, max_iter=300)
+    np.testing.assert_allclose(
+        float(np.asarray(r2d.objective)), float(np.asarray(r1d.objective)),
+        rtol=5e-4, atol=1e-6,
+    )
