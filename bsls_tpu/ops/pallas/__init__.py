@@ -80,13 +80,51 @@ def _fold_scenarios(impl):
     return fn
 
 
-# production entries (default tile, compiled): scenario-folding batched forms.
-# The projection uses the lane-major (transposed) kernel — blocks on VPU
-# lanes: 5.9x the XLA projection and 17x the row-major kernel at the folded
-# S=128 scale (measured on-chip 2026-08-17, BASELINE.md).
-from .pava_kernel import pava_pallas_t  # noqa: E402
-from .projection_kernel import proj_simplex_pallas_t  # noqa: E402
+# production entries: scenario-folding batched forms over the WIDE-layout
+# lane-major kernels — blocks on VPU lanes (5.9x XLA at the folded S=128
+# scale), with the (w, N) transpose taken BEFORE any flattening so no
+# narrow (N, w) tensor ever materialises at the pallas boundary (a narrow
+# operand forces a 128/w-padded tiled copy and poisons the surrounding
+# program's layouts — it OOM'd the 1M-block config by 8+ GB).
+from .pava_kernel import pava_pallas_t, pava_pallas_tw  # noqa: E402
+from .projection_kernel import (  # noqa: E402
+    proj_simplex_pallas_t,
+    proj_simplex_pallas_tw,
+)
 
-proj_simplex_pallas_b = _fold_scenarios(lambda v, w, r: proj_simplex_pallas_t(v, w, r))
-pava_pallas_b = _fold_scenarios(lambda y, w, r: pava_pallas_t(y, w, r))
+
+def _fold_scenarios_wide(core):
+    """custom-vmap wrapper for a wide-layout kernel core
+    ``(vT (w, N), widths (1, N), radius (1, N)) -> (w, N)`` exposing the
+    solver-facing ``(B, w), (B,), (B,)`` signature; a mapped scenario axis
+    folds into N = S*B with one transpose (no narrow intermediate)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_batching.custom_vmap
+    def entry(v, widths, radius):
+        return core(v.T, widths.reshape(1, -1), radius.reshape(1, -1)).T
+
+    @entry.def_vmap
+    def _rule(axis_size, in_batched, v, widths, radius):
+        S = axis_size
+
+        def lead(x, batched):
+            return x if batched else jnp.broadcast_to(x, (S,) + x.shape)
+
+        v = lead(v, in_batched[0])
+        widths = lead(widths, in_batched[1])
+        radius = lead(radius, in_batched[2])
+        B, w = v.shape[-2], v.shape[-1]
+        vT = jnp.transpose(v, (2, 0, 1)).reshape(w, S * B)
+        out = core(vT, widths.reshape(1, S * B), radius.reshape(1, S * B))
+        return out.reshape(w, S, B).transpose(1, 2, 0), True
+
+    return entry
+
+
+proj_simplex_pallas_b = _fold_scenarios_wide(
+    lambda vT, w, r: proj_simplex_pallas_tw(vT, w, r)
+)
+pava_pallas_b = _fold_scenarios_wide(lambda yT, w, r: pava_pallas_tw(yT, w, r))
 __all__ += ["proj_simplex_pallas_b", "pava_pallas_b", "proj_simplex_pallas_t"]

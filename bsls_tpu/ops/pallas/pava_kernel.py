@@ -110,27 +110,29 @@ def _pava_tile_kernel_t(y_ref, width_ref, radius_ref, out_ref, *, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def pava_pallas_t(
-    y: jnp.ndarray,
-    widths: jnp.ndarray,
-    radius: jnp.ndarray,
+def pava_pallas_tw(
+    yT: jnp.ndarray,
+    widths_row: jnp.ndarray,
+    radius_row: jnp.ndarray,
     tile: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Lane-major batched bounded PAVA (blocks on VPU lanes; cheap XLA
-    transposes outside the kernel — same production form as
-    proj_simplex_pallas_t)."""
-    B, w = y.shape
-    tile = min(tile, max(128, B))
-    pad = (-B) % tile
-    yT = jnp.pad(y, ((0, pad), (0, 0))).T  # (w, Bp)
-    widths = jnp.pad(widths, (0, pad)).reshape(1, -1).astype(jnp.int32)
-    radius = jnp.pad(radius, (0, pad)).reshape(1, -1).astype(y.dtype)
-    Bp = B + pad
+    """Wide-layout lane-major bounded PAVA: yT (w, N), widths/radius (1, N)
+    -> (w, N).  See proj_simplex_pallas_tw for why the wide layout is
+    load-bearing (narrow pallas operands force 128/w-padded tiled copies
+    that poison the surrounding program's layouts)."""
+    w, N = yT.shape
+    tile = min(tile, max(128, N))
+    pad = (-N) % tile
+    if pad:
+        yT = jnp.pad(yT, ((0, 0), (0, pad)))
+        widths_row = jnp.pad(widths_row, ((0, 0), (0, pad)))
+        radius_row = jnp.pad(radius_row, ((0, 0), (0, pad)))
+    Np = N + pad
     out = pl.pallas_call(
         functools.partial(_pava_tile_kernel_t, w=w),
-        out_shape=jax.ShapeDtypeStruct((w, Bp), y.dtype),
-        grid=(Bp // tile,),
+        out_shape=jax.ShapeDtypeStruct((w, Np), yT.dtype),
+        grid=(Np // tile,),
         in_specs=[
             pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -138,8 +140,24 @@ def pava_pallas_t(
         ],
         out_specs=pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(yT, widths, radius)
-    return out.T[:B]
+    )(yT, widths_row.astype(jnp.int32), radius_row.astype(yT.dtype))
+    return out[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pava_pallas_t(
+    y: jnp.ndarray,
+    widths: jnp.ndarray,
+    radius: jnp.ndarray,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lane-major batched bounded PAVA (blocks on VPU lanes)."""
+    out = pava_pallas_tw(
+        y.T, widths.reshape(1, -1), radius.reshape(1, -1), tile=tile,
+        interpret=interpret,
+    )
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

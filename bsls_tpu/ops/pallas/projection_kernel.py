@@ -107,6 +107,44 @@ def _proj_tile_kernel_t(v_ref, width_ref, radius_ref, out_ref, *, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def proj_simplex_pallas_tw(
+    vT: jnp.ndarray,
+    widths_row: jnp.ndarray,
+    radius_row: jnp.ndarray,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wide-layout lane-major projection: vT (w, N), widths/radius (1, N)
+    -> (w, N).  The wide layout is load-bearing, not cosmetic: a narrow
+    (N, w) pallas operand forces an (8,128)-tiled copy padded 128/w-fold
+    — which both wastes memory directly AND propagates tiled layouts into
+    the surrounding solver program (measured: the 1M-block config OOM'd
+    by 8+ GB of 16-21x padded copies).  (w, N) is exactly one sublane
+    group per slot index: zero padding."""
+    w, N = vT.shape
+    tile = min(tile, max(128, N))
+    pad = (-N) % tile
+    if pad:
+        vT = jnp.pad(vT, ((0, 0), (0, pad)))
+        widths_row = jnp.pad(widths_row, ((0, 0), (0, pad)))
+        radius_row = jnp.pad(radius_row, ((0, 0), (0, pad)))
+    Np = N + pad
+    out = pl.pallas_call(
+        functools.partial(_proj_tile_kernel_t, w=w),
+        out_shape=jax.ShapeDtypeStruct((w, Np), vT.dtype),
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vT, widths_row.astype(jnp.int32), radius_row.astype(vT.dtype))
+    return out[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def proj_simplex_pallas_t(
     v: jnp.ndarray,
     widths: jnp.ndarray,
@@ -117,28 +155,13 @@ def proj_simplex_pallas_t(
     """Lane-major batched projection: rows of v (B, w) projected onto their
     radius-scaled simplices, with the BLOCK axis mapped to VPU lanes (the
     row-major kernel wastes (128-w)/128 of each vector op for the small
-    block widths this problem has).  Input/output stay (B, w); the (w, B)
-    transposes are cheap XLA ops outside the kernel."""
+    block widths this problem has)."""
     B, w = v.shape
-    tile = min(tile, max(128, B))
-    pad = (-B) % tile
-    vT = jnp.pad(v, ((0, pad), (0, 0))).T  # (w, Bp)
-    widths = jnp.pad(widths, (0, pad)).reshape(1, -1).astype(jnp.int32)
-    radius = jnp.pad(radius, (0, pad)).reshape(1, -1).astype(v.dtype)
-    Bp = B + pad
-    out = pl.pallas_call(
-        functools.partial(_proj_tile_kernel_t, w=w),
-        out_shape=jax.ShapeDtypeStruct((w, Bp), v.dtype),
-        grid=(Bp // tile,),
-        in_specs=[
-            pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((w, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    out = proj_simplex_pallas_tw(
+        v.T, widths.reshape(1, -1), radius.reshape(1, -1), tile=tile,
         interpret=interpret,
-    )(vT, widths, radius)
-    return out.T[:B]
+    )
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -28,7 +28,7 @@ from .models.problem import Problem
 from .ops import layout as L
 from .solvers.base import SolveResult, solve
 
-__all__ = ["Endpoint"]
+__all__ = ["Endpoint", "BatchQueue"]
 
 
 class Endpoint:
@@ -113,3 +113,106 @@ class Endpoint:
                        outer_iters=1, inner_iters=self.chunk)
         else:
             self.solve(np.zeros(shape, np.float32), tol=0.0, max_iter=self.chunk)
+
+
+def _slice_result(res: SolveResult, i: int) -> SolveResult:
+    """Per-request view of a batched SolveResult (scenario i)."""
+    pick = lambda a: np.asarray(a)[i] if np.asarray(a).ndim >= 1 else a
+    return SolveResult(
+        x=np.asarray(res.x)[i],
+        objective=float(np.asarray(res.objective)[i]),
+        gap=float(np.asarray(res.gap)[i]),
+        iterations=res.iterations,
+        converged=res.converged,
+        trace_f=np.asarray(res.trace_f)[i],
+        trace_gap=np.asarray(res.trace_gap)[i],
+        chunk_times=res.chunk_times,
+        chunk_iters=res.chunk_iters,
+        stop_reason=res.stop_reason,
+    )
+
+
+class BatchQueue:
+    """Micro-batching front for an Endpoint: concurrent requests coalesce
+    onto the multi-RHS scenario axis — the throughput axis of this hardware
+    (batched gathers amortise ~70x/RHS, BASELINE.md) — and batch widths are
+    rounded up to powers of two so the jit cache stays small and warm.
+
+        q = BatchQueue(Endpoint(problem), max_batch=32, max_wait_ms=20)
+        fut = q.submit(b_new)            # thread-safe, returns a Future
+        res = fut.result()               # per-request SolveResult
+        q.close()
+
+    Solve options are fixed per queue (one compiled program family); all
+    jax work runs on the single worker thread.  Dummy pad scenarios reuse
+    the first request's b so every lane converges at the same rate.
+    """
+
+    def __init__(self, endpoint: Endpoint, max_batch: int = 32,
+                 max_wait_ms: float = 20.0, tol: float = 1e-6,
+                 max_iter: int = 10_000, **solve_kw):
+        import queue as _queue
+        import threading
+
+        self.endpoint = endpoint
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._solve_kw = dict(tol=tol, max_iter=max_iter, **solve_kw)
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, b: np.ndarray):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((np.asarray(b, np.float32), fut))
+        return fut
+
+    def _run(self):
+        import queue as _queue
+        import time as _time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except _queue.Empty:
+                continue
+            batch = [first]
+            deadline = _time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except _queue.Empty:
+                    break
+            bs = [b for b, _ in batch]
+            # pad to the next power of two with copies of the first request:
+            # one compiled program per width bucket, all lanes same shape
+            S = len(bs)
+            S_pad = 1 << (S - 1).bit_length()
+            bs = bs + [bs[0]] * (S_pad - S)
+            try:
+                if S_pad == 1:
+                    res = self.endpoint.solve(bs[0], **self._solve_kw)
+                    results = [res]
+                else:
+                    res = self.endpoint.solve(np.stack(bs), **self._solve_kw)
+                    results = [_slice_result(res, i) for i in range(S)]
+                for (_, fut), r in zip(batch, results):
+                    fut.set_result(r)
+            except Exception as exc:  # propagate to every waiter
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            self.batches_run += 1
+            self.requests_served += S
+
+    def close(self, timeout: float = 10.0):
+        self._stop.set()
+        self._worker.join(timeout=timeout)

@@ -44,3 +44,27 @@ def test_endpoint_rejects_bad_shapes():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "29" in str(e)
+
+
+def test_batch_queue_coalesces_and_matches_individual():
+    """Concurrent requests coalesce onto the scenario axis; per-request
+    results match individual endpoint solves."""
+    from bsls_tpu.serving import BatchQueue, Endpoint
+    from bsls_tpu.models import synthetic
+
+    prob = synthetic.tiny_dense(seed=3, num_blocks=20, dim=5, m=120)
+    ep = Endpoint(prob, method="pgd", chunk=100)
+    q = BatchQueue(ep, max_batch=8, max_wait_ms=200, tol=0.0, max_iter=200)
+    rng = np.random.default_rng(0)
+    bs = [np.asarray(prob.b) + 0.01 * rng.standard_normal(prob.A.shape[0])
+          for _ in range(5)]
+    futs = [q.submit(b) for b in bs]
+    results = [f.result(timeout=300) for f in futs]
+    q.close()
+    assert q.requests_served == 5
+    assert q.batches_run < 5, "requests should have coalesced"
+    for b, r in zip(bs, results):
+        solo = ep.solve(b, tol=0.0, max_iter=200)
+        np.testing.assert_allclose(float(r.objective), float(solo.objective),
+                                   rtol=1e-5, atol=1e-8)
+        assert r.x.shape == (prob.partition.n_flat,)
