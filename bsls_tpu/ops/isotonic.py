@@ -99,8 +99,9 @@ def pava_bounded(y: jnp.ndarray, widths: jnp.ndarray, radius) -> jnp.ndarray:
     slots; fused Pallas kernel on TPU, XLA minimax elsewhere."""
     from .pallas import pava_pallas_b, use_pallas_pava
 
-    if use_pallas_pava():
-        # _b: custom-vmap entry that folds a scenario axis into the grid
+    if use_pallas_pava() and y.shape[-2] * y.shape[-1] <= 2_000_000:
+        # _b: custom-vmap entry that folds a scenario axis into the grid;
+        # size gate mirrors ops.projection._PALLAS_PROJ_MAX_SLOTS
         return pava_pallas_b(
             y, widths, jnp.broadcast_to(jnp.asarray(radius, y.dtype), widths.shape)
         )

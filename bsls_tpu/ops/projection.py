@@ -49,13 +49,23 @@ def proj_simplex_padded(v: jnp.ndarray, mask: jnp.ndarray, radius=1.0) -> jnp.nd
     return jnp.where(mask > 0, out, 0.0)
 
 
+# Above this many padded slots the Pallas dispatch is skipped: XLA's layout
+# assignment around a pallas custom-call materialises (8,128)-tiled copies
+# of the operands (and propagates tiled layouts to neighbouring tensors)
+# padded 128/w-fold — harmless at the benchmark scales (<= a few hundred MB)
+# but an 8+ GB OOM on the 1M-block config, whose step is gather-bound and
+# gains nothing from a fused projection anyway.
+_PALLAS_PROJ_MAX_SLOTS = 2_000_000
+
+
 def proj_blocks(xp, buckets):
     """Apply the projection to every bucket of a padded pytree (per-bucket
     radii from equilibration).  Dispatches to the fused Pallas kernel on
     TPU, the XLA implementation elsewhere."""
     from .pallas import proj_simplex_pallas_b, use_pallas
 
-    if use_pallas():
+    total_slots = sum(int(x.shape[-2]) * int(x.shape[-1]) for x in xp)
+    if use_pallas() and total_slots <= _PALLAS_PROJ_MAX_SLOTS:
         # _b: custom-vmap entry that folds a scenario axis into the grid
         return tuple(
             proj_simplex_pallas_b(x, bk.sizes, bk.radius) for x, bk in zip(xp, buckets)
