@@ -688,8 +688,17 @@ def prepare(
     mesh (see bsls_tpu.parallel.sharding); the single-device layout is the
     n_shards=1 special case of the same path.
     """
+    # banded x scenario cross-over: the band tensors stream the same bytes
+    # per iteration regardless of S, while scenario batching amortises the
+    # gather layout's random-row cost (measured: banded 4371 vs gather
+    # ~5300 agg it/s at S=32 on medium_banded, BASELINE.md) — so under
+    # layout="auto" large scenario batches keep the gather layout.
+    # layout="banded" still forces the band path at any S.
+    num_scenarios = (
+        int(np.asarray(problem.b).shape[0]) if np.asarray(problem.b).ndim == 2 else 1
+    )
     if (
-        layout in ("auto", "banded")
+        (layout == "banded" or (layout == "auto" and num_scenarios < 16))
         and n_shards == 1
         and row_shards == 1
         and not (col_axis or reduce_axis or row_axis)

@@ -40,13 +40,19 @@ class Endpoint:
         chunk: int = 200,
         dtype=jnp.float32,
         equilibrate: bool = True,
+        warm_start: bool = True,
     ):
         self.method = method
         self.line_search = line_search
         self.chunk = chunk
         self.dtype = dtype
+        self.warm_start = warm_start
         self._problem = problem
         self._eq = problem.C is not None
+        # warm-multiplier cache for eq-constrained streams: converged AL
+        # state (lam, rho, x) of the last request, keyed by batch shape so
+        # each compiled width bucket warm-starts from its own kin
+        self._eq_warm: dict = {}
         if self._eq:
             # equality-constrained: the augmented-Lagrangian outer loop
             # rebuilds the stacked operator per outer iteration, so the
@@ -93,11 +99,27 @@ class Endpoint:
             if b.shape[-1] != self._m:
                 raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
             prob = dc_replace(self._problem, b=b)
-            return solve_equality_constrained(
+            warm = self._eq_warm.get(b.shape[:-1]) if self.warm_start else None
+            if warm is not None and x0 is None:
+                # warm-start lam and x but NOT the grown rho: with lam near
+                # the optimal multipliers a small penalty already satisfies
+                # the constraints, while a large rho ill-conditions the
+                # stacked operator and slows every inner solve (measured:
+                # warm rho made requests ~25% slower than cold)
+                kw.setdefault("lam0", warm["lam"])
+                kw.setdefault("x0", warm["x"])
+            elif x0 is not None:
+                kw.setdefault("x0", x0)
+            res = solve_equality_constrained(
                 prob, method=self.method, tol=tol, max_iter=max_iter,
                 chunk=self.chunk, line_search=self.line_search,
                 dtype=self.dtype, **kw,
             )
+            if self.warm_start and res.converged:
+                self._eq_warm[b.shape[:-1]] = {
+                    "lam": res.eq_lam, "rho": res.eq_rho, "x": np.asarray(res.x),
+                }
+            return res
         dp = self._with_b(b)
         return solve(
             dp, method=self.method, line_search=self.line_search,

@@ -60,11 +60,20 @@ def solve_equality_constrained(
     outer_iters: int = 12,
     inner_iters: int = 2000,
     mesh=None,
+    lam0=None,
+    rho_init: float = 0.0,
+    x0=None,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
     solves run mesh-sharded (the stacked [A; sqrt(rho) C] operator shards
-    like any other instance)."""
+    like any other instance).
+
+    ``lam0``/``rho_init``/``x0`` warm-start the augmented-Lagrangian state
+    (serving.Endpoint feeds the previous request's converged state back in
+    — for streaming b the optimal multipliers move slowly, so warm outer
+    loops converge in 1-2 outers instead of ~5).  The final state is
+    reported on the result as ``eq_lam``/``eq_rho``."""
     from .base import solve
 
     if problem.C is None:
@@ -78,7 +87,12 @@ def solve_equality_constrained(
     d = np.asarray(problem.d, dtype=np.float64)
     if multi and d.ndim == 1:
         d = np.broadcast_to(d, (S, p))
-    lam = np.zeros((S, p) if multi else p)
+    if lam0 is not None:
+        lam = np.broadcast_to(
+            np.asarray(lam0, np.float64), (S, p) if multi else (p,)
+        ).copy()
+    else:
+        lam = np.zeros((S, p) if multi else p)
 
     # scale rho by the ratio of squared column norms so the penalty term is
     # commensurate with the data term from the first outer iteration
@@ -88,7 +102,7 @@ def solve_equality_constrained(
     c_scale = float(np.mean(_col_norms_sq(C))) or 1.0
     # start with the penalty an order of magnitude below the data term so
     # early inners optimise the objective; rho grows as needed
-    rho = 0.1 * float(rho0) * a_scale / c_scale
+    rho = float(rho_init) if rho_init > 0 else 0.1 * float(rho0) * a_scale / c_scale
 
     result = None
     viol = np.inf
@@ -105,7 +119,7 @@ def solve_equality_constrained(
             partition=problem.partition,
             name=problem.name + "+eq",
         )
-        x_prev = None if result is None else np.asarray(result.x)
+        x_prev = x0 if result is None else np.asarray(result.x)
         if mesh is not None:
             from ..parallel.sharding import solve_sharded
 
@@ -144,5 +158,7 @@ def solve_equality_constrained(
     result.objective = problem.objective_np(x)
     result.iterations = total_iters
     result.eq_violation = viol
+    result.eq_lam = lam
+    result.eq_rho = rho
     result.converged = bool(result.converged and viol <= eq_tol)
     return result

@@ -68,3 +68,33 @@ def test_batch_queue_coalesces_and_matches_individual():
         np.testing.assert_allclose(float(r.objective), float(solo.objective),
                                    rtol=1e-5, atol=1e-8)
         assert r.x.shape == (prob.partition.n_flat,)
+
+
+def test_endpoint_eq_warm_multiplier_cache():
+    """Eq-constrained serving: the endpoint caches the converged AL state
+    (lam, x) and warm-starts the next request.  The win shows when the
+    equality constraints genuinely conflict with the LSQ fit (optimal
+    multipliers are O(1)); with consistent data lam* ~ 0 and cold start is
+    already optimal, so the test shifts d to make the constraints active."""
+    import dataclasses
+
+    from bsls_tpu.models import synthetic
+
+    prob = synthetic.traffic_like(num_blocks=30, m=150, num_eq=8, noise=0.05)
+    prob = dataclasses.replace(prob, d=np.asarray(prob.d) * 1.05 + 0.01)
+    ep = Endpoint(prob, method="apgd", chunk=50)
+    b0 = np.asarray(prob.b)
+    r1 = ep.solve(b0, tol=1e-7, max_iter=4000)
+    assert r1.eq_violation <= 1e-4
+    assert np.abs(r1.eq_lam).max() > 1.0, "constraints should be active"
+    assert ep._eq_warm, "converged state should be cached"
+    # a nearby RHS (sensor drift): warm must converge at least as fast as
+    # a cold solve of the same request, with constraints still held
+    rng = np.random.default_rng(0)
+    b1 = b0 * (1.0 + 1e-3 * rng.standard_normal(b0.shape))
+    r2 = ep.solve(b1, tol=1e-7, max_iter=4000)
+    assert r2.eq_violation <= 1e-4
+    ep_cold = Endpoint(prob, method="apgd", chunk=50, warm_start=False)
+    r2c = ep_cold.solve(b1, tol=1e-7, max_iter=4000)
+    assert r2.iterations <= r2c.iterations, (r2.iterations, r2c.iterations)
+    assert float(r2.objective) <= float(r2c.objective) * 1.5 + 1e-6
