@@ -78,9 +78,10 @@ def tpu_run(prob, scenarios: int) -> dict:
         prob, method="pgd", line_search="exact", tol=0.0,
         max_iter=TPU_CHUNK * (TPU_WARM_CHUNKS + TPU_CHUNKS), chunk=TPU_CHUNK,
     )
-    # steady state: skip the compile-laden first chunk
-    times = res.chunk_times[TPU_WARM_CHUNKS:]
-    ips = scenarios * TPU_CHUNK / float(np.median(times))
+    # steady state: iterations-spanned / seconds-spanned, skipping the
+    # compile-laden first sync interval (async loop: one chunk_times entry
+    # may cover several chunks)
+    ips = scenarios * res.steady_iters_per_sec()
     return {
         "iters_per_sec": ips,
         "objective": float(np.max(np.asarray(res.objective))),

@@ -141,8 +141,7 @@ def main(argv=None):
                 resume=bool(cfg.resume),
             )
 
-        steady = res.chunk_times[1:] if len(res.chunk_times) > 1 else res.chunk_times
-        ips = cfg.chunk / float(np.median(steady)) if len(steady) else 0.0
+        ips = res.steady_iters_per_sec()
         out = {
             "config": cfg.config,
             "method": cfg.method,

@@ -105,8 +105,7 @@ def main(argv=None):
         mesh = make_mesh(block=nb, scenario=1, devices=jax.devices()[:nb])
         res = solve_sharded(prob, mesh, method="pgd", tol=0.0,
                             max_iter=args.max_iter, chunk=args.chunk)
-        t = res.chunk_times[1:] if len(res.chunk_times) > 1 else res.chunk_times
-        ips = args.scenarios * args.chunk / float(np.median(t))
+        ips = args.scenarios * res.steady_iters_per_sec()
         if base_ips is None:
             base_ips = ips
         eff = ips / base_ips / nb

@@ -72,8 +72,7 @@ def main(argv=None):
             prob, method=method, line_search=ls, tol=args.tol,
             max_iter=args.max_iter, chunk=args.chunk,
         )
-        times = res.chunk_times[1:] if len(res.chunk_times) > 1 else res.chunk_times
-        ips = args.scenarios * args.chunk / float(np.median(times))
+        ips = args.scenarios * res.steady_iters_per_sec()
         row = {
             "config": prob.name,
             "method": method,

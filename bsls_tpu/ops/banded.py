@@ -85,10 +85,25 @@ def block_window_key(rows_pf: np.ndarray, vals_pf: np.ndarray) -> np.ndarray:
     return r.min(axis=1)
 
 
-def _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages):
-    """Data-driven window: per column, its row-page range relative to its
-    ladder page g; back/wpages cover the 2nd..98th percentile of columns."""
-    deltas_lo, deltas_hi = [], []
+def _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages,
+                   min_fit: float = 0.5,
+                   gather_ns: float = 6.0, stream_gbs: float = 819.0):
+    """Cost-model window choice.
+
+    Band bytes scale linearly with the window width (the (Mp, C_b, W)
+    tensors keep a slot for every column whether or not it fits), while a
+    spilled column only costs its nonzeros' gathered rows (~6 ns/row on
+    this stack, BASELINE.md audit).  So instead of a fixed percentile cut,
+    enumerate candidate (back, end) pairs from the per-column page-delta
+    quantiles and pick the one minimising the modeled per-iteration cost
+
+        2 * band_bytes(wpages) / stream_BW  +  2 * nnz_spilled * 6 ns
+
+    (both the matvec and the rmatvec stream the band once and gather the
+    residual once).  Candidates whose nnz fit-fraction drops below
+    ``min_fit`` are skipped so the layout stays recognisably banded; the
+    2nd..98th percentile window is the fallback when nothing qualifies."""
+    deltas_lo, deltas_hi, nnzs = [], [], []
     nz = vals_pf != 0
     off = 0
     for L in seg_lens:
@@ -102,13 +117,41 @@ def _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages):
         valid = rmax >= 0
         deltas_lo.append(rmin[valid] // PAGE - g[valid])
         deltas_hi.append(rmax[valid] // PAGE - g[valid])
+        nnzs.append(seg_nz.sum(axis=1)[valid])
         off += L
     dlo = np.concatenate(deltas_lo) if deltas_lo else np.zeros(1, np.int64)
     dhi = np.concatenate(deltas_hi) if deltas_hi else np.zeros(1, np.int64)
-    back = int(np.clip(-np.percentile(dlo, 2), 0, max_pages - 1))
-    end = int(np.clip(np.percentile(dhi, 98) + 1, 1 - back, max_pages - back))
-    wpages = back + end
-    return back, max(wpages, 1)
+    colnnz = np.concatenate(nnzs) if nnzs else np.zeros(1, np.int64)
+    nnz_total = max(int(colnnz.sum()), 1)
+
+    # fallback: percentile window (the pre-cost-model behaviour)
+    fb_back = int(np.clip(-np.percentile(dlo, 2), 0, max_pages - 1))
+    fb_end = int(np.clip(np.percentile(dhi, 98) + 1, 1 - fb_back, max_pages - fb_back))
+    fallback = (fb_back, max(fb_back + fb_end, 1))
+
+    # band bytes per page of window width (fixed by the segment shapes)
+    bytes_per_wpage = sum(Mp * max(-(-L // Mp), 1) for L in seg_lens) * PAGE * 4
+
+    qs = (0, 0.5, 1, 2, 5, 10, 25, 50)
+    backs = sorted({int(np.clip(-np.percentile(dlo, q), 0, max_pages - 1)) for q in qs})
+    ends = sorted({int(np.clip(np.percentile(dhi, 100 - q) + 1, 1, max_pages)) for q in qs})
+    best = None
+    for ba in backs:
+        for en in ends:
+            wp = ba + en
+            if wp < 1 or wp > max_pages:
+                continue
+            spilled = (dlo < -ba) | (dhi > en - 1)
+            nnz_spill = int(colnnz[spilled].sum())
+            if 1.0 - nnz_spill / nnz_total < min_fit:
+                continue
+            cost = (2.0 * bytes_per_wpage * wp / (stream_gbs * 1e9)
+                    + 2.0 * nnz_spill * gather_ns * 1e-9)
+            if best is None or cost < best[0]:
+                best = (cost, ba, wp)
+    if best is None:
+        return fallback
+    return best[1], best[2]
 
 
 def build_banded_split(

@@ -5,19 +5,27 @@ The tiny-dense config is dispatch-bound, not compute-bound: the measured
 almost entirely per-op overhead — the instance is 4 MB and every operand
 fits in VMEM.  This kernel runs ``steps`` complete projected-gradient
 iterations (matvec, gradient, projection by bisection, exact quadratic
-line search, residual update) in ONE pallas_call, so the op overhead is
-paid once per chunk instead of ~30 times per iteration.
+line search, incremental residual update) in ONE pallas_call, so the op
+overhead is paid once per chunk instead of ~30 times per iteration.
 
-Layout contract: x is carried as a (B, w) padded block rectangle; the
-dense A is passed pre-permuted as (m, B*w) whose column order is the
-row-major raster of (B, w) — so the only in-kernel layout change is the
-(B, w) <-> (1, B*w) reshape (a relayout of a few KB).  All reductions are
-full-tile sums; the bisection projection is the on-chip-validated pattern
-from projection_kernel.
+Layout contract (Mosaic-safe, no reshapes): x is carried as the (B, w)
+padded block rectangle the solver already uses, and A is passed as two
+per-slot tensors
+
+    A3  (w, m, B):  A3[j][:, b] = A[:, b*w + j]   (drives A @ x)
+    At3 (w, B, m):  At3[j] = A3[j].T              (drives A^T r)
+
+so the matvec is a static python loop of w (m,B)@(B,1) contractions and
+the gradient w (B,m)@(m,1) contractions — Mosaic lowers plain 2-D
+dot_generals, while the (B, w) <-> (1, B*w) flat reshape is an
+"unsupported shape cast" on this stack (measured on-chip; recorded in
+BASELINE.md round-2 lessons).  Column extraction x[:, j] uses a masked
+lane reduction and g is assembled by masked broadcast-accumulate — both
+from the known-good lowering envelope (CLAUDE.md Pallas notes).
 
 Scope (by design, not limitation): single-RHS, dense A, one bucket,
-VMEM-resident (m * n <= ~12 MB).  Larger instances keep the chunked XLA
-path, which is already memory-bound there.
+VMEM-resident (2*m*B*w*4 bytes <= ~10 MB).  Larger instances keep the
+chunked XLA path, which is already memory-bound there.
 """
 from __future__ import annotations
 
@@ -28,10 +36,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pgd_chunk_fused"]
+__all__ = ["pgd_chunk_fused", "split_slots", "mega_vmem_bytes"]
 
 _BIG = 3.0e38
 _N_BISECT = 40
+
+
+def mega_vmem_bytes(m: int, B: int, w: int) -> int:
+    """VMEM footprint of the two A copies (the dominant operands)."""
+    return 2 * m * B * w * 4
+
+
+@functools.partial(jax.jit, static_argnames=("B", "w"))
+def split_slots(A_perm: jnp.ndarray, B: int, w: int):
+    """Host/XLA-side prep: (m, B*w) raster-ordered dense A -> (A3, At3)."""
+    m = A_perm.shape[0]
+    A3 = A_perm.reshape(m, B, w).transpose(2, 0, 1)  # (w, m, B)
+    At3 = A3.transpose(0, 2, 1)  # (w, B, m)
+    return A3, At3
 
 
 def _proj_bw(v, widths_col, radius_col):
@@ -61,59 +83,80 @@ def _proj_bw(v, widths_col, radius_col):
     return jnp.where(valid, jnp.maximum(v - tau, 0.0), 0.0)
 
 
-def _mega_kernel(A_ref, b_ref, x0_ref, widths_ref, radius_ref, t0_ref,
-                 x_out_ref, f_out_ref, *, steps: int, B: int, w: int):
-    A = A_ref[...]  # (m, B*w), columns in (B, w) raster order
-    b = b_ref[...]  # (1, m)
+def _mega_kernel(A3_ref, At3_ref, b_ref, x0_ref, widths_ref, radius_ref,
+                 t0_ref, x_out_ref, f_out_ref, *, steps: int, B: int, w: int):
+    b = b_ref[...]  # (m, 1)
     widths = widths_ref[...]  # (B, 1) int32
     radius = radius_ref[...]  # (B, 1)
     t0 = t0_ref[0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, w), 1)
 
-    def step(i, x):
-        x_flat = x.reshape(1, B * w)
-        r = (
-            jax.lax.dot_general(x_flat, A, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            - b
-        )  # (1, m)
-        g = jax.lax.dot_general(r, A, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (1, B*w)
-        gbw = g.reshape(B, w)
-        xhat = _proj_bw(x - t0 * gbw, widths, radius)
+    def col(v, j):
+        """v (B, w) -> column j as (B, 1), via masked lane reduction."""
+        return jnp.sum(jnp.where(lane == j, v, 0.0), axis=1, keepdims=True)
+
+    def matvec(v):
+        """(B, w) -> A @ v as (m, 1): w static per-slot contractions."""
+        acc = None
+        for j in range(w):
+            part = jax.lax.dot_general(
+                A3_ref[j], col(v, j), (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        return acc
+
+    def grad(r):
+        """(m, 1) -> A^T r as (B, w): per-slot contraction, masked scatter."""
+        g = jnp.zeros((B, w), jnp.float32)
+        for j in range(w):
+            gj = jax.lax.dot_general(
+                At3_ref[j], r, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # (B, 1)
+            g = g + jnp.where(lane == j, gj, 0.0)
+        return g
+
+    x0 = x0_ref[...]
+    r0 = matvec(x0) - b
+
+    def step(i, carry):
+        x, r = carry
+        g = grad(r)
+        xhat = _proj_bw(x - t0 * g, widths, radius)
         d = xhat - x
-        Ad = jax.lax.dot_general(d.reshape(1, B * w), A, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (1, m)
-        g_dot_d = jnp.sum(gbw * d)
+        Ad = matvec(d)  # (m, 1)
+        g_dot_d = jnp.sum(g * d)
         den = jnp.sum(Ad * Ad)
         t = jnp.clip(-g_dot_d / jnp.maximum(den, 1e-30), 0.0, 1.0)
         x_new = x + t * d
         r_new = r + t * Ad
         f = 0.5 * jnp.sum(r_new * r_new)
-        f_out_ref[0, pl.ds(i, 1)] = f.reshape(1)
-        return x_new
+        f_out_ref[pl.ds(i, 1), :] = jnp.full((1, 1), f, jnp.float32)
+        return x_new, r_new
 
-    x = jax.lax.fori_loop(0, steps, step, x0_ref[...], unroll=1)
+    x, _ = jax.lax.fori_loop(0, steps, step, (x0, r0), unroll=1)
     x_out_ref[...] = x
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "interpret"))
-def pgd_chunk_fused(A_perm, b, x0_bw, widths, radius, t0, steps: int,
+def pgd_chunk_fused(A3, At3, b, x0_bw, widths, radius, t0, steps: int,
                     interpret: bool = False):
     """Run ``steps`` fused PGD/exact-LS iterations.
 
-    A_perm: (m, B*w) with columns in (B, w) raster order (zero columns on
+    A3: (w, m, B) and At3: (w, B, m) from ``split_slots`` (zero columns on
     padding slots); b: (m,); x0_bw: (B, w); widths: (B,) int32; radius:
-    (B,); t0: scalar initial step (1/L).  Returns (x_bw, f_trace (steps,)).
+    (B,); t0: scalar trial step (1/L).  Returns (x_bw, f_trace (steps,)).
     """
-    m = A_perm.shape[0]
-    B, w = x0_bw.shape
+    w, m, B = A3.shape
     x_out, f_out = pl.pallas_call(
         functools.partial(_mega_kernel, steps=steps, B=B, w=w),
         out_shape=(
             jax.ShapeDtypeStruct((B, w), x0_bw.dtype),
-            jax.ShapeDtypeStruct((1, steps), x0_bw.dtype),
+            jax.ShapeDtypeStruct((steps, 1), x0_bw.dtype),
         ),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -127,11 +170,12 @@ def pgd_chunk_fused(A_perm, b, x0_bw, widths, radius, t0, steps: int,
         ),
         interpret=interpret,
     )(
-        A_perm,
-        b.reshape(1, -1),
+        A3,
+        At3,
+        b.reshape(-1, 1),
         x0_bw,
         widths.reshape(-1, 1).astype(jnp.int32),
         radius.reshape(-1, 1).astype(x0_bw.dtype),
         jnp.asarray(t0, x0_bw.dtype).reshape(1, 1),
     )
-    return x_out, f_out[0]
+    return x_out, f_out[:, 0]

@@ -467,24 +467,51 @@ def solve_sharded(
                 state, sspecs,
             )
 
+    # async chunk loop with adaptive sync cadence — same design as
+    # solvers/base.py solve(): chunks enqueue without blocking, traces stay
+    # on device until the end, and convergence stats come back in one packed
+    # transfer every `sync_every` chunks (a host readback roundtrip costs
+    # ~25 ms on this stack and used to dominate small per-chunk walls).
+    from ..solvers.base import MAX_SYNC_CHUNKS, SYNC_TARGET_SECS
+
+    from ..solvers.base import MAX_SYNC_CHUNKS_TOL
+
     traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
     stopper = StopTracker(tol, stop_rule)
     chunks_done = 0
+    sync_every, since_sync = 1, 0
+    max_sync = MAX_SYNC_CHUNKS if tol <= 0 else MAX_SYNC_CHUNKS_TOL
+    eager_host = bool(verbose or (checkpoint_path and checkpoint_every))
     t0 = time.perf_counter()
     while it < max_iter:
         state, (tf, tg) = chunk_fn(dp, L_est, state)
-        tf = jax.block_until_ready(tf)
+        it += chunk
+        chunks_done += 1
+        since_sync += 1
+        traces_f.append(tf)  # (S, chunk), device
+        traces_g.append(tg)
+        if since_sync < sync_every and it < max_iter and not eager_host:
+            continue
+        citers.append(it)
+        # packed end-of-chunk stats for the whole interval (one fixed-shape
+        # transfer); the stopper replays them per chunk — same semantics as
+        # the synchronous loop, decision at most sync_every chunks late
+        from ..solvers.base import MAX_SYNC_CHUNKS as _MS, pack_chunk_stats
+
+        k_sync = min(since_sync, _MS)
+        fg = np.asarray(pack_chunk_stats(traces_f, traces_g, k_sync,
+                                         state.f.dtype))  # (2, 32, S)
         t1 = time.perf_counter()
         ctimes.append(t1 - t0)
         t0 = t1
-        it += chunk
-        chunks_done += 1
-        citers.append(it)
-        traces_f.append(np.asarray(tf))  # (S, chunk)
-        traces_g.append(np.asarray(tg))
-        f_last = np.asarray(state.f)
-        gap_last = np.asarray(state.gap)
+        stop_at = None
+        for j in range(k_sync):
+            rel_j = fg[1, j] / np.maximum(1.0, np.abs(fg[0, j]))
+            if stopper.update(fg[0, j], rel_j):
+                stop_at = j
+                break
+        f_last, gap_last = fg[0, -1], fg[1, -1]
         rel = gap_last / np.maximum(1.0, np.abs(f_last))
         if metrics is not None:
             metrics.log("chunk", iteration=it, f=f_last.tolist(),
@@ -495,9 +522,14 @@ def solve_sharded(
             save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
         if verbose:
             print(f"[sharded] iter {it}: f={f_last} relgap={rel}")
-        if stopper.update(f_last, rel):
+        if stop_at is not None:
             converged = True
+            it -= (k_sync - 1 - stop_at) * chunk
             break
+        chunk_wall = ctimes[-1] / since_sync
+        sync_every = int(np.clip(round(SYNC_TARGET_SECS / max(chunk_wall, 1e-6)),
+                                 1, max_sync))
+        since_sync = 0
     if checkpoint_path and checkpoint_every:
         from ..utils.checkpoint import save_state
 
@@ -510,7 +542,11 @@ def solve_sharded(
     x = extract_sharded(dp, part, xp)
     if not traces_f:  # resumed past max_iter: nothing ran this call
         empty = np.zeros((np.asarray(dp.b).shape[0], 0), np.float32)
-        traces_f, traces_g = [empty], [empty]
+        trace_f, trace_gap = empty, empty
+    else:
+        # traces lived on device during the loop: one transfer each
+        trace_f = np.asarray(jnp.concatenate(traces_f, axis=1))
+        trace_gap = np.asarray(jnp.concatenate(traces_g, axis=1))
     f = np.asarray(state.f)
     gap = np.asarray(state.gap)
     if single_rhs:
@@ -521,8 +557,8 @@ def solve_sharded(
         gap=gap,
         iterations=it,
         converged=converged,
-        trace_f=np.concatenate(traces_f, axis=1),
-        trace_gap=np.concatenate(traces_g, axis=1),
+        trace_f=trace_f,
+        trace_gap=trace_gap,
         chunk_times=np.asarray(ctimes),
         chunk_iters=np.asarray(citers),
         stop_reason=stopper.reason,

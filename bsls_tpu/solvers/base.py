@@ -36,6 +36,28 @@ from ..ops.simplex import block_min
 
 __all__ = ["SolveOptions", "SolveResult", "fw_gap", "power_lipschitz", "solve"]
 
+# async chunk-loop sync cadence (see the loop in solve()): aim for this many
+# seconds of enqueued device compute between host readbacks, capped to bound
+# the stop-decision lag.  A readback roundtrip costs ~25 ms on this stack.
+SYNC_TARGET_SECS = 0.5
+MAX_SYNC_CHUNKS = 32  # tol<=0 (fixed-budget) runs
+MAX_SYNC_CHUNKS_TOL = 8  # tol>0: bound the stop-decision lag
+
+
+def pack_chunk_stats(traces_f, traces_g, k, dtype):
+    """End-of-chunk (f, gap) for the last ``k`` chunks as ONE fixed-shape
+    (2, MAX_SYNC_CHUNKS, S|1) device array.  Fixed shape matters: the pack
+    program compiles once per solve instead of once per distinct interval
+    width (remote compiles cost ~1 s on this stack), so the tail is padded
+    by repeating the last chunk's stats — the host replays only the first
+    ``k`` entries."""
+    fs = [jnp.atleast_1d(t[..., -1]) for t in traces_f[-k:]]
+    gs = [jnp.atleast_1d(t[..., -1]).astype(dtype) for t in traces_g[-k:]]
+    pad = MAX_SYNC_CHUNKS - len(fs)
+    fs = fs + [fs[-1]] * pad
+    gs = gs + [gs[-1]] * pad
+    return jnp.stack([jnp.stack(fs), jnp.stack(gs)])
+
 
 @dataclass(frozen=True)
 class SolveOptions:
@@ -72,6 +94,22 @@ class SolveResult:
     chunk_iters: np.ndarray  # cumulative iteration count per chunk boundary
     eq_violation: Optional[float] = None  # ||Cx-d||_inf (equality-constrained)
     stop_reason: str = "max_iter"  # "gap" | "stall" | "gap/stall" | "max_iter"
+
+    def steady_iters_per_sec(self, skip: int = 1) -> float:
+        """Solver iterations/sec from the paired (chunk_iters, chunk_times)
+        sync records, skipping the first ``skip`` intervals (compile and
+        tunnel warm-up land there).  Entries may span several chunks under
+        the async loop, so the rate is iterations-spanned / seconds-spanned
+        — NOT chunk/median(times)."""
+        t = np.asarray(self.chunk_times, float)
+        i = np.asarray(self.chunk_iters, float)
+        if t.size == 0 or i.size == 0:
+            return 0.0
+        if t.size <= skip:
+            skip = 0
+        start = i[skip - 1] if skip else 0.0
+        dt = float(np.sum(t[skip:]))
+        return float((i[-1] - start) / dt) if dt > 0 else 0.0
 
     def time_to_gap(self, f_star: float, rel: float = 1e-6) -> float | None:
         """Wall seconds until f <= f* + rel*max(1,|f*|), from the chunk trace."""
@@ -310,10 +348,21 @@ def solve(
         state = solver.init(dp, L_est, opts, xp0=xp0)
         runner = _run_chunk
 
-    # AOT-compile the chunk executable so XLA compile time never lands in
-    # chunk_times[0] (time_to_gap interpolates over the wall trace)
-    compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
-    run = lambda st: compiled(dp, st, L_est)
+    # whole-chunk megakernel fast path (small dense single-RHS instances;
+    # see solvers/mega.py for eligibility) — produces/consumes the same
+    # PGDState, so the chunk loop below is unchanged
+    from .mega import make_mega_runner
+
+    mega_run = None if multi else make_mega_runner(dp, method, opts, L_est, chunk)
+    if mega_run is not None:
+        # warm-up call compiles the kernel outside the timed region
+        jax.block_until_ready(mega_run(state)[0].f)
+        run = mega_run
+    else:
+        # AOT-compile the chunk executable so XLA compile time never lands in
+        # chunk_times[0] (time_to_gap interpolates over the wall trace)
+        compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
+        run = lambda st: compiled(dp, st, L_est)
 
     it = 0
     if resume and checkpoint_path:
@@ -324,25 +373,61 @@ def solve(
             state, meta = load_state(ck, state)
             it = int(meta.get("iteration", 0))
 
+    # Chunk loop with ASYNC dispatch + adaptive sync cadence.  A device->host
+    # roundtrip costs ~25 ms on this stack (BASELINE.md host-readback law) —
+    # 4 of them per chunk used to dominate small configs entirely (tiny dense
+    # measured 7 us/iter of true compute under 125 us/iter of readbacks).  So:
+    # chunks are enqueued without blocking, per-chunk (f, gap) traces stay on
+    # device until the end (one batched transfer), and convergence stats come
+    # back in ONE packed transfer every `sync_every` chunks, where
+    # `sync_every` adapts so readback overhead stays ~5% of compute.  The
+    # packed read carries the END-OF-CHUNK (f, gap) of every chunk in the
+    # interval, and the stopper replays them chunk by chunk — stopping
+    # SEMANTICS are identical to the fully-synchronous loop; only the
+    # decision arrives up to sync_every chunks late (the extra chunks are
+    # already-enqueued cheap compute; ``iterations`` reports the
+    # criterion-hit point, while x/objective use the final — at least as
+    # converged — state).
     traces_f, traces_g, ctimes, citers = [], [], [], []
     converged = False
     stopper = StopTracker(tol, stop_rule)
     chunks_done = 0
+    sync_every, since_sync = 1, 0
+    # tol>0: bound the stop-decision lag; tol<=0 runs the full budget anyway
+    max_sync = MAX_SYNC_CHUNKS if tol <= 0 else MAX_SYNC_CHUNKS_TOL
+    # per-chunk host work (checkpoint/callback/verbose) forces per-chunk sync
+    eager_host = bool(callback is not None or verbose
+                      or (checkpoint_path and checkpoint_every))
     # chunk executable AOT-compiled above: compile is outside the timed region
     t0 = time.perf_counter()
     while it < max_iter:
         state, (tf, tg) = run(state)
-        tf = jax.block_until_ready(tf)
+        it += chunk
+        chunks_done += 1
+        since_sync += 1
+        traces_f.append(tf)
+        traces_g.append(tg)
+        if since_sync < sync_every and it < max_iter and not eager_host:
+            continue
+        citers.append(it)
+        # one packed transfer: end-of-chunk (f, gap) for every chunk in the
+        # interval; forces completion of everything queued so far
+        k_sync = min(since_sync, MAX_SYNC_CHUNKS)
+        fg = np.asarray(pack_chunk_stats(traces_f, traces_g, k_sync,
+                                         state.f.dtype))
         t1 = time.perf_counter()
         ctimes.append(t1 - t0)
         t0 = t1
-        it += chunk
-        chunks_done += 1
-        citers.append(it)
-        traces_f.append(np.asarray(tf))
-        traces_g.append(np.asarray(tg))
-        f_last = np.asarray(state.f)
-        gap_last = np.asarray(state.gap)
+        stop_at = None
+        for j in range(k_sync):
+            f_j = fg[0, j] if multi else fg[0, j, 0]
+            rel_j = (fg[1, j] if multi else fg[1, j, 0]) / np.maximum(
+                1.0, np.abs(f_j))
+            if stopper.update(f_j, rel_j):
+                stop_at = j
+                break
+        f_last = fg[0, -1] if multi else fg[0, -1, 0]
+        gap_last = fg[1, -1] if multi else fg[1, -1, 0]
         rel = gap_last / np.maximum(1.0, np.abs(f_last))
         if metrics is not None:
             metrics.log(
@@ -357,9 +442,18 @@ def solve(
             callback(it, state)
         if verbose:
             print(f"iter {it}: f={f_last} relgap={rel}")
-        if stopper.update(f_last, rel):
+        if stop_at is not None:
             converged = True
+            # report the criterion-hit iteration (the chunks enqueued past it
+            # still ran and their — at least as converged — state is kept)
+            it -= (k_sync - 1 - stop_at) * chunk
             break
+        # adapt the sync cadence toward ~5% readback overhead (readback
+        # ~25 ms; SYNC_TARGET_SECS of enqueued compute between syncs)
+        chunk_wall = ctimes[-1] / since_sync
+        sync_every = int(np.clip(round(SYNC_TARGET_SECS / max(chunk_wall, 1e-6)),
+                                 1, max_sync))
+        since_sync = 0
     if checkpoint_path and checkpoint_every:
         from ..utils.checkpoint import save_state
 
@@ -398,9 +492,12 @@ def solve(
     axis = 1 if multi else 0
     if not traces_f:  # resumed past max_iter: nothing ran this call
         empty = np.zeros((dp.b.shape[0], 0) if multi else (0,), np.float32)
-        traces_f, traces_g = [empty], [empty]
-    trace_f = np.concatenate(traces_f, axis=axis)
-    trace_gap = np.concatenate(traces_g, axis=axis)
+        trace_f, trace_gap = empty, empty
+    else:
+        # traces lived on device during the loop; concatenate there and pay
+        # ONE host transfer for each of the two traces
+        trace_f = np.asarray(jnp.concatenate(traces_f, axis=axis))
+        trace_gap = np.asarray(jnp.concatenate(traces_g, axis=axis))
     # one final exact projection: guarantees bit-level feasibility of the
     # returned x regardless of method (the z-space path can leave O(eps)
     # negative entries after the z->x difference map)

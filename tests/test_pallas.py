@@ -130,3 +130,40 @@ def test_banded_page_kernels_match_einsum(S):
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(jnp.einsum("gcw,sgw->sgc", band, rw)), atol=2e-5
     )
+
+
+def test_megastep_kernel_matches_xla_solver():
+    """Whole-chunk PGD megakernel (ops/pallas/megastep_kernel) vs the XLA
+    pgd/exact solver: identical init, t0 and step semantics, so the f-trace
+    and final iterate must agree to fp32 tolerance over a full chunk."""
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.ops import layout as L
+    from bsls_tpu.ops.pallas.megastep_kernel import pgd_chunk_fused, split_slots
+    from bsls_tpu.solvers.base import power_lipschitz, solve
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=40, dim=8, m=320)
+    dp = L.prepare(prob)
+    assert len(dp.buckets) == 1
+    L_est = power_lipschitz(dp)
+    t0 = 1.0 / float(L_est)
+    bk = dp.buckets[0]
+    x0 = jnp.asarray(np.asarray(L.feasible_init(dp)[0]))
+    B, w = bk.mask.shape
+    A3, At3 = split_slots(dp.A.data, B, w)
+    xk, ftr = pgd_chunk_fused(A3, At3, dp.b, x0, bk.sizes, bk.radius, t0,
+                              steps=200, interpret=True)
+    res = solve(dp, method="pgd", line_search="exact", max_iter=200, chunk=200,
+                tol=0)
+    fx = np.asarray(res.trace_f)
+    fk = np.asarray(ftr)
+    rel = np.abs(fk - fx) / np.maximum(1e-9, np.abs(fx))
+    assert rel.max() < 1e-3, rel.max()
+    from bsls_tpu.ops.layout import extract_user_flat
+
+    x_kernel = np.asarray(extract_user_flat(dp, (xk,)))
+    np.testing.assert_allclose(x_kernel, np.asarray(res.x), atol=2e-5)
+    # feasibility: nonneg and per-block sums == radius
+    x_bw, mask = np.asarray(xk), np.asarray(bk.mask)
+    assert x_bw[mask > 0].min() >= 0
+    np.testing.assert_allclose((x_bw * mask).sum(-1), np.asarray(bk.radius),
+                               rtol=1e-5)
