@@ -23,10 +23,12 @@ import numpy as np
 SWEEP = [
     ("pgd", "exact"),
     ("pgd", "bb"),
+    ("pgd", "bbm"),
     ("pgd", "pava"),
     ("apgd", "exact"),
     ("eg", "exact"),
     ("frank_wolfe", "exact"),
+    ("afw", "exact"),
 ]
 
 

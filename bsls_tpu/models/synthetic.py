@@ -177,7 +177,12 @@ def with_scenarios(prob: Problem, num_scenarios: int, seed: int = 1,
     xs = np.stack([random_block_x(rng, sizes) for _ in range(num_scenarios)])
     b = np.stack([prob.A.matvec(xs[s]) for s in range(num_scenarios)])
     b += noise * rng.standard_normal(b.shape)
+    # equality constraints carry over per scenario: d_s = C x_s (exact
+    # measurements of the planted flows — noise-free by construction)
+    d = (None if prob.C is None
+         else np.stack([prob.C.matvec(xs[s]) for s in range(num_scenarios)]))
     return Problem(A=prob.A, b=b, partition=prob.partition,
+                   C=prob.C, d=d,
                    name=prob.name + f"x{num_scenarios}", x_true=xs)
 
 

@@ -279,11 +279,16 @@ def solve(
     metrics=None,
     stop_rule: str = "auto",
     certify: int = 0,
+    lipschitz: Optional[float] = None,
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
     Multi-RHS problems (b of shape (S, m)) are vmapped over scenarios.
     For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
+
+    ``lipschitz`` skips the on-device power iteration and uses the given
+    ||A||_2^2 bound for the 1/L trial step (the augmented-Lagrangian outer
+    loop updates it analytically across penalty changes).
 
     ``certify=K`` runs K pairwise-FW polish steps after the main solve to
     tighten the duality-gap certificate (orders of magnitude at equal or
@@ -325,7 +330,10 @@ def solve(
     solver = _get_solver(method)
     multi = dp.b.ndim == 2
 
-    L_est = power_lipschitz(dp if not multi else replace(dp, b=dp.b[0]))
+    if lipschitz is not None:
+        L_est = jnp.asarray(lipschitz, dp.b.dtype)
+    else:
+        L_est = power_lipschitz(dp if not multi else replace(dp, b=dp.b[0]))
 
     if x0 is not None:
         x0j = jnp.asarray(x0, dtype)

@@ -183,3 +183,48 @@ def test_certify_polish_tightens_gap():
     assert float(r1.objective) <= float(r0.objective) + 1e-6
     # the certificate is sound: f - f* <= gap
     assert float(r1.objective) - orc.objective <= float(r1.gap) + 1e-6
+
+
+def test_steady_iters_per_sec_spans_syncs():
+    """steady_iters_per_sec must use iterations-spanned / seconds-spanned
+    over the paired (chunk_iters, chunk_times) sync records — one record may
+    cover several chunks under the async loop."""
+    from bsls_tpu.solvers.base import SolveResult
+
+    r = SolveResult(
+        x=np.zeros(3), objective=0.0, gap=0.0, iterations=700, converged=False,
+        trace_f=np.zeros(700), trace_gap=np.zeros(700),
+        chunk_times=np.array([10.0, 1.0, 2.0]),  # first interval = compile
+        chunk_iters=np.array([100, 300, 700]),   # 100, then 200, then 400
+    )
+    # (700 - 100) iters over (1 + 2) seconds
+    assert abs(r.steady_iters_per_sec() - 200.0) < 1e-9
+    # degenerate single record falls back to the full span
+    r2 = SolveResult(
+        x=np.zeros(3), objective=0.0, gap=0.0, iterations=100, converged=False,
+        trace_f=np.zeros(100), trace_gap=np.zeros(100),
+        chunk_times=np.array([4.0]), chunk_iters=np.array([100]),
+    )
+    assert abs(r2.steady_iters_per_sec() - 25.0) < 1e-9
+
+
+def test_pack_chunk_stats_fixed_shape():
+    """pack_chunk_stats pads to MAX_SYNC_CHUNKS so the pack program has ONE
+    shape per solve (variable-shape eager stacks cost a remote compile per
+    distinct width on the TPU tunnel)."""
+    import jax.numpy as jnp
+
+    from bsls_tpu.solvers.base import MAX_SYNC_CHUNKS, pack_chunk_stats
+
+    tf = [jnp.full((5,), float(i)) for i in range(3)]   # 3 chunks of 5 iters
+    tg = [jnp.full((5,), 10.0 + i) for i in range(3)]
+    out = np.asarray(pack_chunk_stats(tf, tg, 3, jnp.float32))
+    assert out.shape == (2, MAX_SYNC_CHUNKS, 1)
+    np.testing.assert_allclose(out[0, :3, 0], [0.0, 1.0, 2.0])
+    np.testing.assert_allclose(out[1, :3, 0], [10.0, 11.0, 12.0])
+    # pad region repeats the last chunk's stats
+    np.testing.assert_allclose(out[0, 3:, 0], 2.0)
+    # multi-RHS leaves (S, chunk) -> (2, W, S)
+    tfm = [jnp.zeros((4, 5)) + i for i in range(2)]
+    outm = np.asarray(pack_chunk_stats(tfm, tfm, 2, jnp.float32))
+    assert outm.shape == (2, MAX_SYNC_CHUNKS, 4)
