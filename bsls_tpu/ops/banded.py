@@ -236,7 +236,8 @@ def _zmv(band, seg):  # band (Mp, C, W), seg (Mp, C) -> (Mp, W)
 
     if use_pallas():
         return band_zmv_pallas(band, seg[None])[0]
-    return jnp.einsum("gcw,gc->gw", band, seg, preferred_element_type=seg.dtype)
+    return jnp.einsum("gcw,gc->gw", band, seg, preferred_element_type=seg.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @_zmv.def_vmap
@@ -250,7 +251,8 @@ def _zmv_vmap(axis_size, in_batched, band, seg):
     if use_pallas():
         return band_zmv_pallas(band, seg), True
     return (
-        jnp.einsum("gcw,sgc->sgw", band, seg, preferred_element_type=seg.dtype),
+        jnp.einsum("gcw,sgc->sgw", band, seg, preferred_element_type=seg.dtype,
+                   precision=jax.lax.Precision.HIGHEST),
         True,
     )
 
@@ -262,7 +264,8 @@ def _grmv(band, rw):  # band (Mp, C, W), rw (Mp, W) -> (Mp, C)
 
     if use_pallas():
         return band_grmv_pallas(band, rw[None])[0]
-    return jnp.einsum("gcw,gw->gc", band, rw, preferred_element_type=rw.dtype)
+    return jnp.einsum("gcw,gw->gc", band, rw, preferred_element_type=rw.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @_grmv.def_vmap
@@ -276,7 +279,8 @@ def _grmv_vmap(axis_size, in_batched, band, rw):
     if use_pallas():
         return band_grmv_pallas(band, rw), True
     return (
-        jnp.einsum("gcw,sgw->sgc", band, rw, preferred_element_type=rw.dtype),
+        jnp.einsum("gcw,sgw->sgc", band, rw, preferred_element_type=rw.dtype,
+                   precision=jax.lax.Precision.HIGHEST),
         True,
     )
 

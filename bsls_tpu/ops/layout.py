@@ -854,7 +854,13 @@ def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
         y = banded_matvec(A, x)
         return y if A.resid is None else y + matvec(A.resid, x)
     if isinstance(A, DeviceDense):
-        return A.data @ x
+        # HIGHEST: the MXU's default bf16 passes cap fp32 matmul accuracy at
+        # ~2e-3 relative, which stalls 1e-6 convergence.  Single-RHS
+        # matrix-vector products lower to full-precision VPU reductions
+        # either way, but under scenario vmap this becomes a real matmul —
+        # measured 2e-3 (default) vs 1e-7 (HIGHEST) on-chip.
+        return jnp.einsum("mn,n->m", A.data, x,
+                          precision=jax.lax.Precision.HIGHEST)
     if isinstance(A, DeviceVStack):
         return jnp.concatenate([matvec(A.top, x), A.bottom_scale * matvec(A.bottom, x)])
     if A.grid_sharded:
@@ -915,7 +921,8 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         g = banded_rmatvec(A, r)
         return g if A.resid is None else g + rmatvec(A.resid, r)
     if isinstance(A, DeviceDense):
-        return A.data.T @ r
+        return jnp.einsum("mn,m->n", A.data, r,  # HIGHEST: see matvec note
+                          precision=jax.lax.Precision.HIGHEST)
     if isinstance(A, DeviceVStack):
         return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
     if A.grid_sharded:

@@ -35,7 +35,10 @@ def _zmv_kernel(x_ref, band_ref, out_ref, *, S: int):
     if S == 1:
         out_ref[0] = jnp.sum(band * x.reshape(-1, 1), axis=0, keepdims=True)
     else:
-        out_ref[0] = jnp.dot(x, band, preferred_element_type=jnp.float32)
+        # HIGHEST: default bf16 MXU passes cap fp32 dots at ~2e-3 relative
+        # error, stalling 1e-6 convergence (BASELINE.md precision law)
+        out_ref[0] = jnp.dot(x, band, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 def _grmv_kernel(r_ref, band_ref, out_ref, *, S: int):
@@ -44,7 +47,8 @@ def _grmv_kernel(r_ref, band_ref, out_ref, *, S: int):
     if S == 1:
         out_ref[0] = jnp.sum(band * r, axis=1, keepdims=True).reshape(1, -1)
     else:
-        out_ref[0] = jnp.dot(r, band.T, preferred_element_type=jnp.float32)
+        out_ref[0] = jnp.dot(r, band.T, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

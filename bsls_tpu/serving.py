@@ -53,6 +53,10 @@ class Endpoint:
         # state (lam, rho, x) of the last request, keyed by batch shape so
         # each compiled width bucket warm-starts from its own kin
         self._eq_warm: dict = {}
+        # prepared-operator cache shared across requests: the stacked
+        # [A; sqrt(rho) C] encoding and its Lipschitz constants depend only
+        # on the instance, so streaming requests skip re-prepare entirely
+        self._eq_ops: dict = {}
         if self._eq:
             # equality-constrained: the augmented-Lagrangian outer loop
             # rebuilds the stacked operator per outer iteration, so the
@@ -113,7 +117,7 @@ class Endpoint:
             res = solve_equality_constrained(
                 prob, method=self.method, tol=tol, max_iter=max_iter,
                 chunk=self.chunk, line_search=self.line_search,
-                dtype=self.dtype, **kw,
+                dtype=self.dtype, op_cache=self._eq_ops, **kw,
             )
             if self.warm_start and res.converged:
                 self._eq_warm[b.shape[:-1]] = {

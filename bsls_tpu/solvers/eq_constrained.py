@@ -28,6 +28,8 @@ iteration identical to the unconstrained hot path.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +65,7 @@ def solve_equality_constrained(
     lam0=None,
     rho_init: float = 0.0,
     x0=None,
+    op_cache: Optional[dict] = None,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
@@ -73,7 +76,13 @@ def solve_equality_constrained(
     (serving.Endpoint feeds the previous request's converged state back in
     — for streaming b the optimal multipliers move slowly, so warm outer
     loops converge in 1-2 outers instead of ~5).  The final state is
-    reported on the result as ``eq_lam``/``eq_rho``."""
+    reported on the result as ``eq_lam``/``eq_rho``.
+
+    ``op_cache`` (a plain dict owned by the caller) persists the prepared
+    stacked operator and its Lipschitz constants ACROSS calls — for
+    streaming requests against one instance (serving.Endpoint) only the
+    RHS changes, so repeat requests skip the host re-encode/upload and the
+    on-device power iterations entirely."""
     from .base import solve
 
     if problem.C is None:
@@ -118,8 +127,10 @@ def solve_equality_constrained(
     # (rho - rho1) * lam_max(C^T C).  Block equilibration is frozen at the
     # first outer's rho (a preconditioning tradeoff, not a correctness one;
     # rho starts an order below the data term, so scales are data-dominated).
-    dp_cache = None
-    L_base = LC = rho_base = None
+    if op_cache is None:
+        op_cache = {}
+    key = ("op", np.shape(b))
+    dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
     for outer in range(outer_iters):
         sr = np.sqrt(rho)
         b_bot = sr * (d - lam / rho)  # (p,) or (S, p)
@@ -168,6 +179,7 @@ def solve_equality_constrained(
                         else dc_replace(dp_bot, b=dp_bot.b[0])
                     )
                 )
+                op_cache[key] = (dp_cache, rho_base, L_base, LC)
             dp = dc_replace(
                 dp_cache,
                 A=dc_replace(dp_cache.A,

@@ -70,6 +70,42 @@ def test_batch_queue_coalesces_and_matches_individual():
         assert r.x.shape == (prob.partition.n_flat,)
 
 
+def test_endpoint_eq_operator_cache(monkeypatch):
+    """Streaming eq-constrained requests share ONE prepared stacked
+    operator: the second request must not re-run L.prepare (host
+    re-encode/upload) or the power iterations, and must still solve the
+    new RHS correctly."""
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.ops import layout as layout_mod
+
+    prob = synthetic.traffic_like(num_blocks=30, m=150, num_eq=8, noise=0.05)
+    ep = Endpoint(prob, method="apgd", chunk=50, warm_start=False)
+    calls = {"n": 0}
+    real_prepare = layout_mod.prepare
+
+    def counting_prepare(*a, **k):
+        calls["n"] += 1
+        return real_prepare(*a, **k)
+
+    monkeypatch.setattr(layout_mod, "prepare", counting_prepare)
+    b0 = np.asarray(prob.b)
+    r1 = ep.solve(b0, tol=1e-7, max_iter=3000)
+    n_first = calls["n"]
+    assert n_first >= 1
+    rng = np.random.default_rng(0)
+    b1 = b0 * (1.0 + 1e-3 * rng.standard_normal(b0.shape))
+    r2 = ep.solve(b1, tol=1e-7, max_iter=3000)
+    assert calls["n"] == n_first, "second request re-prepared the operator"
+    assert r2.eq_violation <= 1e-4
+    # cached-operator result must match a fresh-endpoint solve of b1
+    ep2 = Endpoint(prob, method="apgd", chunk=50, warm_start=False)
+    monkeypatch.setattr(layout_mod, "prepare", real_prepare)
+    r2f = ep2.solve(b1, tol=1e-7, max_iter=3000)
+    np.testing.assert_allclose(
+        float(r2.objective), float(r2f.objective), rtol=1e-4, atol=1e-7
+    )
+
+
 def test_endpoint_eq_warm_multiplier_cache():
     """Eq-constrained serving: the endpoint caches the converged AL state
     (lam, x) and warm-starts the next request.  The win shows when the
