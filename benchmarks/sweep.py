@@ -26,6 +26,7 @@ SWEEP = [
     ("pgd", "bbm"),
     ("pgd", "pava"),
     ("apgd", "exact"),
+    ("lbfgs", "exact"),
     ("eg", "exact"),
     ("frank_wolfe", "exact"),
     ("afw", "exact"),

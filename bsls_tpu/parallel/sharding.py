@@ -53,12 +53,16 @@ _LEAF_SPECS = {
 _KIND_SPECS = {
     "x": P(SCENARIO_AXIS, BLOCK_AXIS, None),  # padded bucket (S, Bk, w)
     "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),  # PF flat (S, n_pf)
+    "xflat_hist": P(SCENARIO_AXIS, None, BLOCK_AXIS),  # (S, M, n_pf) ring buffer
+    "hist": P(SCENARIO_AXIS, None),  # (S, M) per-pair scalars
     "r": P(SCENARIO_AXIS, None),  # residual-space (S, m)
     "scalar": P(SCENARIO_AXIS),  # per-scenario scalar
 }
 _KIND_SPECS_ROWS = {
     "x": P(SCENARIO_AXIS, None, None),
     "xflat": P(SCENARIO_AXIS, None),
+    "xflat_hist": P(SCENARIO_AXIS, None, None),
+    "hist": P(SCENARIO_AXIS, None),
     "r": P(SCENARIO_AXIS, BLOCK_AXIS),
     "scalar": P(SCENARIO_AXIS),
 }
@@ -99,6 +103,8 @@ _LEAF_SPECS_2D = {
 _KIND_SPECS_2D = {
     "x": P(SCENARIO_AXIS, BLOCK_AXIS, None),  # x by block, replicated over rows
     "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),
+    "xflat_hist": P(SCENARIO_AXIS, None, BLOCK_AXIS),
+    "hist": P(SCENARIO_AXIS, None),
     "r": P(SCENARIO_AXIS, ROW_AXIS),  # residual by row shard
     "scalar": P(SCENARIO_AXIS),
 }
@@ -349,6 +355,7 @@ def solve_sharded(
     shard_rows: bool = False,
     x0=None,
     stop_rule: str = "auto",
+    lbfgs_mem: int = 8,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
@@ -393,6 +400,7 @@ def solve_sharded(
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size, unroll=unroll,
+        lbfgs_mem=lbfgs_mem,
     )
     solver = _get_solver(method)
     dspecs = dp_specs(dp, rows=shard_rows, grid=grid)

@@ -1,6 +1,6 @@
 from .base import SolveOptions, SolveResult, power_lipschitz, solve
 from .eq_constrained import solve_equality_constrained
-from . import apgd, frank_wolfe, mirror_descent, pgd
+from . import apgd, frank_wolfe, lbfgs, mirror_descent, pgd
 
 __all__ = [
     "SolveOptions",
@@ -9,6 +9,7 @@ __all__ = [
     "solve",
     "solve_equality_constrained",
     "frank_wolfe",
+    "lbfgs",
     "mirror_descent",
     "pgd",
 ]

@@ -63,14 +63,15 @@ def pack_chunk_stats(traces_f, traces_g, k, dtype):
 class SolveOptions:
     """Static solver options (hashable: becomes part of the jit cache key)."""
 
-    method: str = "pgd"  # pgd | eg | frank_wolfe
-    line_search: str = "exact"  # exact | bb | fixed | pava
+    method: str = "pgd"  # pgd | apgd | lbfgs | eg | frank_wolfe | afw
+    line_search: str = "exact"  # exact | bb | bbm | fixed | pava
     tol: float = 1e-6  # relative FW-gap tolerance: gap <= tol * max(1, |f|)
     max_iter: int = 10_000
     chunk: int = 100  # iterations per compiled scan chunk
     step_size: float = 0.0  # fixed step (0 -> 1/L from power iteration)
-    space: str = "x"  # x | z  (z-space PGD projects with PAVA)
+    space: str = "x"  # x | z  (z-space PGD/L-BFGS project with PAVA)
     unroll: int = 1  # lax.scan unroll: amortises per-iteration op overhead
+    lbfgs_mem: int = 8  # curvature-pair memory depth (method="lbfgs")
 
 
 class CommonState(NamedTuple):
@@ -217,12 +218,13 @@ def power_lipschitz(dp: L.DeviceProblem, iters: int = 30, seed: int = 0) -> jnp.
 
 
 def _get_solver(method: str):
-    from . import apgd, frank_wolfe, mirror_descent, pgd
+    from . import apgd, frank_wolfe, lbfgs, mirror_descent, pgd
 
     table = {
         "pgd": pgd,
         "apgd": apgd,
         "fista": apgd,
+        "lbfgs": lbfgs,
         "eg": mirror_descent,
         "mirror_descent": mirror_descent,
         "frank_wolfe": frank_wolfe,
@@ -280,6 +282,7 @@ def solve(
     stop_rule: str = "auto",
     certify: int = 0,
     lipschitz: Optional[float] = None,
+    lbfgs_mem: int = 8,
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
@@ -325,7 +328,7 @@ def solve(
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size, space=space,
-        unroll=unroll,
+        unroll=unroll, lbfgs_mem=lbfgs_mem,
     )
     solver = _get_solver(method)
     multi = dp.b.ndim == 2

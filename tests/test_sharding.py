@@ -51,7 +51,9 @@ def test_shard_problem_layout(eight_devices):
 # the ~1% level while both converge to the same optimum.  PGD/APGD use the
 # exact line search and must agree tightly.
 @pytest.mark.parametrize(
-    "method,rtol", [("pgd", 5e-4), ("apgd", 5e-4), ("eg", 2e-2), ("frank_wolfe", 2e-2)]
+    "method,rtol",
+    [("pgd", 5e-4), ("apgd", 5e-4), ("lbfgs", 5e-4), ("eg", 2e-2),
+     ("frank_wolfe", 2e-2)],
 )
 def test_sharded_matches_single_device(eight_devices, method, rtol):
     mesh = make_mesh(block=8, scenario=1, devices=eight_devices)

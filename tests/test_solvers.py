@@ -35,6 +35,7 @@ def _relgap(f, fstar):
         ("eg", "exact", 1e-4),
         ("frank_wolfe", "exact", 1e-3),
         ("afw", "exact", 1e-6),  # pairwise FW: linear rate restores parity
+        ("lbfgs", "exact", 1e-6),
     ],
 )
 def test_solver_reaches_oracle_tiny(tiny, method, ls, target):
@@ -142,6 +143,43 @@ def test_apgd_rejects_unsupported_line_search(tiny):
     prob, _ = tiny
     with pytest.raises(ValueError, match="apgd"):
         bsls.solve(prob, method="apgd", line_search="bb", max_iter=10)
+
+
+def test_lbfgs_zspace_reaches_oracle(tiny):
+    """The z-space variant (bounded-isotonic projection of the quasi-Newton
+    arc, SURVEY.md §1a 'L-BFGS-in-z-space') matches the oracle too."""
+    prob, orc = tiny
+    res = bsls.solve(prob, method="lbfgs", space="z", tol=1e-8,
+                     max_iter=6000, chunk=200)
+    assert _relgap(float(res.objective), orc.objective) <= 1e-6
+
+
+def test_lbfgs_monotone_and_fast(tiny):
+    """Exact line search along the safeguarded arc makes every step a
+    descent step, and the curvature memory must beat plain PGD's iteration
+    count to the same gap on the same instance."""
+    prob, orc = tiny
+    r_lb = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400, chunk=100,
+                      stop_rule="gap")
+    tf = np.asarray(r_lb.trace_f)
+    assert (np.diff(tf) <= 1e-5 * np.maximum(1, np.abs(tf[:-1]))).all()
+    r_pgd = bsls.solve(prob, method="pgd", line_search="exact", tol=0.0,
+                       max_iter=400, chunk=100, stop_rule="gap")
+    thresh = orc.objective + 1e-6 * max(1.0, abs(orc.objective))
+    hit_lb = np.nonzero(tf <= thresh)[0]
+    hit_pgd = np.nonzero(np.asarray(r_pgd.trace_f) <= thresh)[0]
+    it_lb = int(hit_lb[0]) if hit_lb.size else 10**9
+    it_pgd = int(hit_pgd[0]) if hit_pgd.size else 10**9
+    assert it_lb < it_pgd, (it_lb, it_pgd)
+
+
+def test_lbfgs_tiny_memory_ring_buffer(tiny):
+    """lbfgs_mem=1 exercises the ring-buffer wraparound every iteration and
+    must still converge (degenerates to a scaled-gradient arc)."""
+    prob, orc = tiny
+    res = bsls.solve(prob, method="lbfgs", lbfgs_mem=1, tol=1e-8,
+                     max_iter=6000, chunk=200)
+    assert _relgap(float(res.objective), orc.objective) <= 1e-6
 
 
 def test_equality_constrained_multi_rhs():
