@@ -242,9 +242,12 @@ class Problem:
             payload["A_vals"] = self.A.vals
             payload["A_num_rows"] = np.array(self.A.num_rows)
         if self.C is not None:
-            payload["C_dense"] = (
-                self.C.data if isinstance(self.C, DenseMatrix) else self.C.to_scipy().toarray()
-            )
+            if isinstance(self.C, DenseMatrix):
+                payload["C_dense"] = self.C.data
+            else:  # keep sparse constraints sparse on disk
+                payload["C_rows"] = self.C.rows
+                payload["C_vals"] = self.C.vals
+                payload["C_num_rows"] = np.array(self.C.num_rows)
             payload["d"] = self.d
         if self.x_true is not None:
             payload["x_true"] = self.x_true
@@ -272,7 +275,13 @@ class Problem:
             A = DenseMatrix(raw["A_dense"])
         else:
             A = EllMatrix(rows=raw["A_rows"], vals=raw["A_vals"], num_rows=int(raw["A_num_rows"]))
-        C = DenseMatrix(raw["C_dense"]) if "C_dense" in raw else None
+        if "C_dense" in raw:
+            C = DenseMatrix(raw["C_dense"])
+        elif "C_rows" in raw:
+            C = EllMatrix(rows=raw["C_rows"], vals=raw["C_vals"],
+                          num_rows=int(raw["C_num_rows"]))
+        else:
+            C = None
         d = raw["d"] if "d" in raw else None
         x_true = raw["x_true"] if "x_true" in raw else None
         part = BlockPartition.from_sizes(raw["block_sizes"])

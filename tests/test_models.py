@@ -59,6 +59,26 @@ def test_problem_save_load_roundtrip(tmp_path):
     assert (back.partition.sizes == prob.partition.sizes).all()
 
 
+def test_problem_save_load_sparse_constraints(tmp_path):
+    """Sparse C must survive the .npz round trip WITHOUT densifying."""
+    import scipy.sparse as sp
+
+    base = synthetic.traffic_like(seed=2, num_blocks=12, m=40, num_eq=6,
+                                  noise=1e-3)
+    n = base.A.shape[1]
+    rng = np.random.default_rng(0)
+    C_sp = sp.random(6, n, density=0.1, random_state=rng, format="csr")
+    prob = Problem.from_arrays(base.A, base.b, base.partition.sizes,
+                               C=C_sp, d=np.zeros(6))
+    assert isinstance(prob.C, EllMatrix)
+    path = str(tmp_path / "eq.npz")
+    prob.save_npz(path)
+    back = Problem.load(path)
+    assert isinstance(back.C, EllMatrix)
+    assert np.allclose(back.C.to_scipy().toarray(), prob.C.to_scipy().toarray())
+    assert np.allclose(back.d, prob.d)
+
+
 def test_generators_feasible_and_shapes():
     t = synthetic.tiny_dense(num_blocks=10, dim=5, m=60)
     assert t.shape == (60, 50)
