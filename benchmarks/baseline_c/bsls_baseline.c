@@ -156,16 +156,33 @@ static double dot(const double *a, const double *b, int64_t n) {
 /* ---------------- solver ---------------- */
 
 int main(int argc, char **argv) {
-    if (argc < 3) die("usage: bsls_baseline <instance.bin> <iters> [--pava]");
+    if (argc < 3)
+        die("usage: bsls_baseline <instance.bin> <iters> "
+            "[--pava] [--ls bb|exact] [--fstar F] [--rel R]");
     instance in = load(argv[1]);
     int iters = atoi(argv[2]);
-    int use_pava_smoke = argc > 3 && strcmp(argv[3], "--pava") == 0;
+    int use_pava_smoke = 0, use_bb = 0;
+    double fstar = 0.0, rel = 0.0;
+    int have_fstar = 0;
+    for (int a = 3; a < argc; a++) {
+        if (!strcmp(argv[a], "--pava")) use_pava_smoke = 1;
+        else if (!strcmp(argv[a], "--ls") && a + 1 < argc)
+            use_bb = !strcmp(argv[++a], "bb");
+        else if (!strcmp(argv[a], "--fstar") && a + 1 < argc) {
+            fstar = atof(argv[++a]); have_fstar = 1;
+        } else if (!strcmp(argv[a], "--rel") && a + 1 < argc)
+            rel = atof(argv[++a]);
+    }
+    double fmax = fabs(fstar) > 1.0 ? fabs(fstar) : 1.0;
+    double thresh = fstar + (rel > 0 ? rel : 1e-6) * fmax;
 
     double *x = malloc(in.n * sizeof(double));
     double *g = malloc(in.n * sizeof(double));
     double *d = malloc(in.n * sizeof(double));
     double *r = malloc(in.m * sizeof(double));
     double *Ad = malloc(in.m * sizeof(double));
+    double *x_prev = malloc(in.n * sizeof(double));
+    double *g_prev = malloc(in.n * sizeof(double));
     int64_t wmax = 0;
     for (int64_t b0 = 0; b0 < in.B; b0++) if (in.bs[b0] > wmax) wmax = in.bs[b0];
     double *scratch = malloc((size_t)wmax * sizeof(double));
@@ -201,13 +218,38 @@ int main(int argc, char **argv) {
 
     struct timespec t0, t1;
     clock_gettime(CLOCK_MONOTONIC, &t0);
-    double f = 0.0;
-    for (int it = 0; it < iters; it++) {
+    double f = 0.0, hit_secs = -1.0;
+    int it, hit_iter = -1;
+    for (it = 0; it < iters; it++) {
         /* gradient */
         csr_matvec(&in, x, r);
         for (int64_t i = 0; i < in.m; i++) r[i] -= in.b[i];
         f = 0.5 * dot(r, r, in.m);
         csr_rmatvec(&in, r, g);
+        if (have_fstar && f <= thresh) {
+            clock_gettime(CLOCK_MONOTONIC, &t1);
+            hit_iter = it;
+            hit_secs = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+            break;
+        }
+        double tstep = 1.0 / L;
+        if (use_bb && it > 0) {
+            /* Barzilai-Borwein step from the last iterate/gradient pair */
+            double ss = 0.0, sy = 0.0;
+            for (int64_t i = 0; i < in.n; i++) {
+                double dx = x[i] - x_prev[i], dg = g[i] - g_prev[i];
+                ss += dx * dx; sy += dx * dg;
+            }
+            if (sy > 1e-30) tstep = ss / sy;
+        }
+        if (use_bb) {
+            memcpy(x_prev, x, in.n * sizeof(double));
+            memcpy(g_prev, g, in.n * sizeof(double));
+            /* non-monotone projected BB: x = proj(x - t_bb g) */
+            for (int64_t i = 0; i < in.n; i++) x[i] -= tstep * g[i];
+            proj_multi_simplex(x, in.bs, in.B, scratch);
+            continue;
+        }
         /* candidate: proj(x - g/L); direction d = cand - x */
         for (int64_t i = 0; i < in.n; i++) d[i] = x[i] - g[i] / L;
         proj_multi_simplex(d, in.bs, in.B, scratch);
@@ -228,7 +270,10 @@ int main(int argc, char **argv) {
     for (int64_t i = 0; i < in.m; i++) r[i] -= in.b[i];
     f = 0.5 * dot(r, r, in.m);
 
-    printf("{\"iters\": %d, \"secs\": %.6f, \"iters_per_sec\": %.3f, \"objective\": %.10e}\n",
-           iters, secs, iters / secs, f);
+    printf("{\"iters\": %d, \"secs\": %.6f, \"iters_per_sec\": %.3f, "
+           "\"objective\": %.10e, \"ls\": \"%s\", "
+           "\"iters_to_target\": %d, \"secs_to_target\": %.6f}\n",
+           it, secs, it > 0 ? it / secs : 0.0, f, use_bb ? "bb" : "exact",
+           hit_iter, hit_secs);
     return 0;
 }
