@@ -304,7 +304,7 @@ def solve(
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
-            unroll=unroll,
+            unroll=unroll, lbfgs_mem=lbfgs_mem,
         )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded
@@ -319,6 +319,7 @@ def solve(
             x0=x0, verbose=verbose, metrics=metrics,
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
             checkpoint_keep=checkpoint_keep, resume=resume, stop_rule=stop_rule,
+            lbfgs_mem=lbfgs_mem,
         )
     if isinstance(problem, Problem):
         dp = L.prepare(problem, dtype=dtype)

@@ -66,6 +66,7 @@ def solve_equality_constrained(
     rho_init: float = 0.0,
     x0=None,
     op_cache: Optional[dict] = None,
+    lbfgs_mem: int = 8,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
@@ -148,7 +149,7 @@ def solve_equality_constrained(
             result = solve_sharded(
                 stacked, mesh, method=method, tol=tol, max_iter=inner_iters,
                 chunk=chunk, line_search=line_search, step_size=step_size,
-                dtype=dtype, x0=x_prev, unroll=unroll,
+                dtype=dtype, x0=x_prev, unroll=unroll, lbfgs_mem=lbfgs_mem,
             )
         else:
             from dataclasses import replace as dc_replace
@@ -190,7 +191,7 @@ def solve_equality_constrained(
                 dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
                 line_search=line_search, step_size=step_size, dtype=dtype,
                 x0=x_prev,  # warm-start from the previous outer iterate
-                unroll=unroll,
+                unroll=unroll, lbfgs_mem=lbfgs_mem,
                 lipschitz=L_base + max(0.0, rho - rho_base) * LC,
             )
         total_iters += result.iterations

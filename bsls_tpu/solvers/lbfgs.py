@@ -88,6 +88,16 @@ def _two_loop(dp, g_flat, st: LBFGSState, M: int):
 
 
 def init(dp: L.DeviceProblem, L_est, opts: SolveOptions, xp0=None) -> LBFGSState:
+    if opts.line_search not in ("exact",):
+        raise ValueError(
+            f"method 'lbfgs' does not support line_search={opts.line_search!r}; "
+            "the quasi-Newton arc always uses the exact quadratic line search"
+        )
+    if opts.step_size > 0:
+        raise ValueError(
+            "method 'lbfgs' ignores step_size; the trial step is H g from "
+            "the curvature memory (use method='pgd' for fixed steps)"
+        )
     xp = xp0 if xp0 is not None else L.feasible_init(dp)
     x_flat = L.padded_to_flat(dp, xp)
     r = Q.residual(dp, x_flat)

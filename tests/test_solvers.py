@@ -145,6 +145,43 @@ def test_apgd_rejects_unsupported_line_search(tiny):
         bsls.solve(prob, method="apgd", line_search="bb", max_iter=10)
 
 
+def test_lbfgs_rejects_unsupported_options(tiny):
+    prob, _ = tiny
+    with pytest.raises(ValueError, match="lbfgs"):
+        bsls.solve(prob, method="lbfgs", line_search="bb", max_iter=10)
+    with pytest.raises(ValueError, match="lbfgs"):
+        bsls.solve(prob, method="lbfgs", step_size=0.5, max_iter=10)
+
+
+def test_lbfgs_mem_forwarded_everywhere(monkeypatch):
+    """lbfgs_mem must reach the inner SolveOptions on all three dispatch
+    paths (plain, mesh-sharded, equality-constrained) — it was silently
+    dropped to the default on the mesh and eq paths once."""
+    import jax
+
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh
+    from bsls_tpu.solvers import lbfgs as lbfgs_mod
+
+    seen = []
+    real_init = lbfgs_mod.init
+
+    def spy_init(dp, L_est, opts, xp0=None):
+        seen.append(opts.lbfgs_mem)
+        return real_init(dp, L_est, opts, xp0=xp0)
+
+    monkeypatch.setattr(lbfgs_mod, "init", spy_init)
+    prob = synthetic.tiny_dense(seed=0, num_blocks=16, dim=4, m=64)
+    bsls.solve(prob, method="lbfgs", lbfgs_mem=2, tol=0.0, max_iter=5)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    bsls.solve(prob, method="lbfgs", lbfgs_mem=2, mesh=mesh, tol=0.0,
+               max_iter=5)
+    eq = synthetic.traffic_like(seed=1, num_blocks=12, m=40, num_eq=4,
+                                noise=1e-3)
+    bsls.solve(eq, method="lbfgs", lbfgs_mem=2, tol=1e-4, max_iter=200)
+    assert seen and all(m == 2 for m in seen), seen
+
+
 def test_lbfgs_zspace_reaches_oracle(tiny):
     """The z-space variant (bounded-isotonic projection of the quasi-Newton
     arc, SURVEY.md §1a 'L-BFGS-in-z-space') matches the oracle too."""
