@@ -150,6 +150,32 @@ class ScaledMatrix:
         return self.scale * self.inner.rmatvec(r)
 
 
+def _load_mat73(path: str) -> dict:
+    """Read a MATLAB v7.3 (HDF5) .mat: scipy.io.loadmat raises
+    NotImplementedError on these.  MATLAB stores dense arrays transposed
+    (column-major) and sparse matrices as a group of CSC components
+    (data/ir/jc) whose row count lives in the MATLAB_sparse attribute."""
+    import h5py
+    import scipy.sparse as sp
+
+    def read(node):
+        if isinstance(node, h5py.Group):  # sparse CSC components
+            data = np.asarray(node["data"]).ravel()
+            ir = np.asarray(node["ir"]).ravel().astype(np.int64)
+            jc = np.asarray(node["jc"]).ravel().astype(np.int64)
+            nrows = int(node.attrs["MATLAB_sparse"])
+            return sp.csc_matrix((data, ir, jc), shape=(nrows, jc.size - 1))
+        arr = np.asarray(node)
+        return arr.T if arr.ndim == 2 and min(arr.shape) > 1 else arr.ravel()
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        for key in ("A", "b", "block_sizes", "C", "d", "x_true"):
+            if key in f:
+                out[key] = read(f[key])
+    return out
+
+
 @dataclass(frozen=True)
 class Problem:
     """Block-simplex-constrained least squares instance.
@@ -256,11 +282,20 @@ class Problem:
     @staticmethod
     def load(path: str) -> "Problem":
         """Load a .npz instance (or a MATLAB .mat with A/b/block_sizes keys,
-        matching the reference's expected on-disk format, SURVEY.md §2 #13)."""
+        matching the reference's expected on-disk format, SURVEY.md §2 #13).
+        Both classic (v5-v7, via scipy) and HDF5-based (v7.3, via h5py) .mat
+        files are supported — large real-network instances are typically
+        saved with '-v7.3'."""
         if str(path).endswith(".mat"):
             from scipy.io import loadmat
 
-            raw = loadmat(path)
+            try:
+                raw = loadmat(path)
+            except (NotImplementedError, ValueError):
+                # MATLAB v7.3 = HDF5 container (scipy raises
+                # NotImplementedError with the MATLAB userblock header,
+                # ValueError on a bare HDF5 file)
+                raw = _load_mat73(path)
             A = raw["A"]
             b = np.asarray(raw["b"]).ravel()
             sizes = np.asarray(raw["block_sizes"]).ravel()

@@ -259,6 +259,31 @@ def _run_chunk_multi(dp, state, L_est, opts: SolveOptions, solver_name: str, ste
     )(dp.b, state)
 
 
+# AOT chunk executables keyed by (runner, static opts, abstract arg
+# signature): ``.lower().compile()`` bypasses jit's own cache, so without
+# this every solve() call recompiles — the equality-constrained AL outer
+# loop calls solve() once per outer on identical shapes and paid a full
+# recompile each time (measured ~7 s/outer for the unrolled lbfgs graph).
+_AOT_CACHE: dict = {}
+_AOT_CACHE_MAX = 64
+
+
+def _aot_chunk_executable(runner, dp, state, L_est, opts, method, chunk):
+    leaves, treedef = jax.tree_util.tree_flatten((dp, state, L_est))
+    sig = tuple(
+        (np.shape(leaf), str(getattr(leaf, "dtype", type(leaf).__name__)))
+        for leaf in leaves
+    )
+    key = (runner is _run_chunk_multi, opts, method, chunk, treedef, sig)
+    compiled = _AOT_CACHE.get(key)
+    if compiled is None:
+        compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
+        if len(_AOT_CACHE) >= _AOT_CACHE_MAX:  # drop the oldest entry
+            _AOT_CACHE.pop(next(iter(_AOT_CACHE)))
+        _AOT_CACHE[key] = compiled
+    return compiled
+
+
 def solve(
     problem: Problem | L.DeviceProblem,
     method: str = "pgd",
@@ -373,7 +398,7 @@ def solve(
     else:
         # AOT-compile the chunk executable so XLA compile time never lands in
         # chunk_times[0] (time_to_gap interpolates over the wall trace)
-        compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
+        compiled = _aot_chunk_executable(runner, dp, state, L_est, opts, method, chunk)
         run = lambda st: compiled(dp, st, L_est)
 
     it = 0

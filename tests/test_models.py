@@ -130,3 +130,44 @@ def test_mat_loader_roundtrip(tmp_path):
     assert prob.shape == (12, n)
     assert (prob.partition.sizes == sizes).all()
     np.testing.assert_allclose(prob.A.matvec(x_true), b, atol=1e-10)
+
+
+def test_mat73_loader(tmp_path):
+    """MATLAB v7.3 (HDF5) instances load too — scipy raises
+    NotImplementedError on these; large real-network instances are saved
+    with '-v7.3'.  The file is built with h5py in MATLAB's own layout:
+    sparse = CSC components group with a MATLAB_sparse row-count attr,
+    dense 2-D arrays stored transposed."""
+    import h5py
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    sizes = np.array([3, 4, 2])
+    n = int(sizes.sum())
+    A = sp.random(12, n, density=0.5, random_state=11, format="csc")
+    x_true = np.concatenate([rng.dirichlet(np.ones(s)) for s in sizes])
+    b = A @ x_true
+    C = rng.standard_normal((2, n))
+    d = C @ x_true
+    path = str(tmp_path / "inst73.mat")
+    # mimic MATLAB -v7.3 layout, including the 512-byte userblock header
+    # that makes scipy's loadmat raise NotImplementedError
+    with h5py.File(path, "w", userblock_size=512) as f:
+        g = f.create_group("A")
+        g.attrs["MATLAB_sparse"] = np.uint64(A.shape[0])
+        g.create_dataset("data", data=A.data)
+        g.create_dataset("ir", data=A.indices.astype(np.uint64))
+        g.create_dataset("jc", data=A.indptr.astype(np.uint64))
+        f.create_dataset("b", data=b.reshape(1, -1))  # MATLAB column vec, transposed
+        f.create_dataset("block_sizes", data=sizes.astype(np.float64).reshape(1, -1))
+        f.create_dataset("C", data=C.T)  # dense 2-D stored transposed
+        f.create_dataset("d", data=d.reshape(1, -1))
+        f.create_dataset("x_true", data=x_true.reshape(1, -1))
+    with open(path, "r+b") as fh:  # MATLAB 7.3 header in the userblock
+        fh.write(b"MATLAB 7.3 MAT-file" + b" " * 105 + bytes([0, 2, ord("I"), ord("M")]))
+    prob = Problem.load(path)
+    assert prob.shape == (12, n)
+    assert (prob.partition.sizes == sizes).all()
+    np.testing.assert_allclose(prob.A.matvec(x_true), b, atol=1e-10)
+    np.testing.assert_allclose(prob.C.matvec(x_true), d, atol=1e-10)
+    np.testing.assert_allclose(prob.x_true, x_true, atol=1e-12)
