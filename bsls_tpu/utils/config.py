@@ -52,7 +52,9 @@ PRESETS = {
     "tiny": RunConfig(config="tiny", method="pgd", line_search="exact"),
     "medium-pgd": RunConfig(config="medium", method="pgd"),
     "medium-eg": RunConfig(config="medium", method="eg"),
-    "traffic": RunConfig(config="traffic", method="apgd"),
+    # lbfgs inners: 40% fewer AL inner iterations AND a 35x better objective
+    # than apgd on the grid-network instance (BASELINE.md config-3 rows)
+    "traffic": RunConfig(config="traffic", method="lbfgs"),
     "large": RunConfig(
         config="large", method="pgd",
         instance_kwargs={"num_blocks": 1_000_000, "dim": 8, "num_scenarios": 4},

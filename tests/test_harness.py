@@ -174,6 +174,25 @@ bsls.solve(prob, method="pgd", tol=0.0, max_iter=100000, chunk=50,
     )
 
 
+def test_aot_executable_cache_prevents_recompiles():
+    """Repeat solve() calls with identical shapes/options must reuse ONE
+    AOT chunk executable — the eq-constrained AL loop calls solve once per
+    outer and used to recompile every time (BASELINE.md: warm AL(lbfgs)
+    93.7 s -> 4.3 s from this cache)."""
+    from bsls_tpu.solvers import base as base_mod
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=12, dim=4, m=48)
+    base_mod._AOT_CACHE.clear()
+    bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=20, chunk=10)
+    n1 = len(base_mod._AOT_CACHE)
+    assert n1 >= 1
+    bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=20, chunk=10)
+    assert len(base_mod._AOT_CACHE) == n1, "second identical solve recompiled"
+    # different static options -> a distinct executable
+    bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=20, chunk=10, lbfgs_mem=2)
+    assert len(base_mod._AOT_CACHE) == n1 + 1
+
+
 def test_benchmark_cli_tiny(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "run.py"),
