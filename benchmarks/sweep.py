@@ -71,10 +71,17 @@ def main(argv=None):
 
     rows = []
     for method, ls in SWEEP:
-        res = bsls.solve(
-            prob, method=method, line_search=ls, tol=args.tol,
-            max_iter=args.max_iter, chunk=args.chunk,
-        )
+        try:
+            res = bsls.solve(
+                prob, method=method, line_search=ls, tol=args.tol,
+                max_iter=args.max_iter, chunk=args.chunk,
+            )
+        except Exception as e:  # one method failing must not kill the sweep
+            print(json.dumps({
+                "config": prob.name, "method": method, "line_search": ls,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }), flush=True)
+            continue
         ips = args.scenarios * res.steady_iters_per_sec()
         row = {
             "config": prob.name,

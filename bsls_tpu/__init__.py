@@ -2,8 +2,9 @@
 
 A from-scratch JAX/XLA/Pallas framework with the capabilities of the
 ``megacell/block-simplex-least-squares`` reference: projected gradient,
-entropic mirror descent, and Frank-Wolfe solvers over products of simplices,
-with fused per-block projection / PAVA kernels and multi-host mesh sharding.
+accelerated PGD, projected L-BFGS, entropic mirror descent, and Frank-Wolfe
+(+pairwise) solvers over products of simplices, with fused per-block
+projection / PAVA kernels and multi-host mesh sharding.
 See SURVEY.md for the blueprint and provenance notes.
 """
 from .models import (
@@ -15,7 +16,7 @@ from .models import (
     oracle_solve,
     synthetic,
 )
-from .solvers import SolveResult, solve
+from .solvers import SolveResult, solve, solve_equality_constrained
 from .parallel import make_mesh
 from .serving import Endpoint
 
