@@ -158,7 +158,7 @@ def _load_mat73(path: str) -> dict:
     import h5py
     import scipy.sparse as sp
 
-    def read(node):
+    def read(node, is_matrix):
         if isinstance(node, h5py.Group):  # sparse CSC components
             data = np.asarray(node["data"]).ravel()
             ir = np.asarray(node["ir"]).ravel().astype(np.int64)
@@ -166,13 +166,15 @@ def _load_mat73(path: str) -> dict:
             nrows = int(node.attrs["MATLAB_sparse"])
             return sp.csc_matrix((data, ir, jc), shape=(nrows, jc.size - 1))
         arr = np.asarray(node)
-        return arr.T if arr.ndim == 2 and min(arr.shape) > 1 else arr.ravel()
+        if is_matrix:  # matrices stay 2-D even with a singleton dim
+            return arr.T if arr.ndim == 2 else arr.reshape(1, -1)
+        return arr.ravel()
 
     out = {}
     with h5py.File(path, "r") as f:
         for key in ("A", "b", "block_sizes", "C", "d", "x_true"):
             if key in f:
-                out[key] = read(f[key])
+                out[key] = read(f[key], is_matrix=key in ("A", "C"))
     return out
 
 
@@ -294,7 +296,14 @@ class Problem:
             except (NotImplementedError, ValueError):
                 # MATLAB v7.3 = HDF5 container (scipy raises
                 # NotImplementedError with the MATLAB userblock header,
-                # ValueError on a bare HDF5 file)
+                # ValueError on a bare HDF5 file).  Only fall back when the
+                # file really is one of those — a corrupt classic .mat
+                # should surface scipy's error, not a phantom h5py one.
+                with open(path, "rb") as fh:
+                    head = fh.read(19)
+                if not (head.startswith(b"MATLAB 7.3")
+                        or head.startswith(b"\x89HDF")):
+                    raise
                 raw = _load_mat73(path)
             A = raw["A"]
             b = np.asarray(raw["b"]).ravel()

@@ -29,10 +29,6 @@ from .mesh import BLOCK_AXIS, ROW_AXIS, SCENARIO_AXIS
 
 __all__ = ["shard_problem", "solve_sharded"]
 
-# AOT chunk-executable cache (see solvers.base._aot_chunk_executable)
-_AOT_CACHE: dict = {}
-_AOT_CACHE_MAX = 64
-
 
 # ---------------- spec construction ----------------
 
@@ -388,7 +384,7 @@ def solve_sharded(
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
-            unroll=unroll,
+            unroll=unroll, lbfgs_mem=lbfgs_mem,
         )
 
     single_rhs = np.asarray(problem.b).ndim == 1
@@ -466,19 +462,13 @@ def solve_sharded(
     # cache the executable by (mesh, opts, layout, abstract signature) —
     # .lower().compile() bypasses jit's cache, and the eq-constrained AL
     # outer loop calls solve_sharded once per outer on identical shapes
-    leaves, treedef = jax.tree_util.tree_flatten((dp, L_est, state))
-    sig = tuple(
-        (np.shape(leaf), str(getattr(leaf, "dtype", type(leaf).__name__)))
-        for leaf in leaves
+    from ..solvers.base import cached_executable
+
+    _fn = chunk_fn
+    chunk_fn = cached_executable(
+        (mesh, opts, shard_rows, grid), (dp, L_est, state),
+        lambda: _fn.lower(dp, L_est, state).compile(),
     )
-    aot_key = (mesh, opts, shard_rows, grid, treedef, sig)
-    compiled = _AOT_CACHE.get(aot_key)
-    if compiled is None:
-        compiled = chunk_fn.lower(dp, L_est, state).compile()
-        if len(_AOT_CACHE) >= _AOT_CACHE_MAX:
-            _AOT_CACHE.pop(next(iter(_AOT_CACHE)))
-        _AOT_CACHE[aot_key] = compiled
-    chunk_fn = compiled
 
     it = 0
     if resume and checkpoint_path:

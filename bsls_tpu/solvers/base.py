@@ -259,29 +259,40 @@ def _run_chunk_multi(dp, state, L_est, opts: SolveOptions, solver_name: str, ste
     )(dp.b, state)
 
 
-# AOT chunk executables keyed by (runner, static opts, abstract arg
-# signature): ``.lower().compile()`` bypasses jit's own cache, so without
-# this every solve() call recompiles — the equality-constrained AL outer
-# loop calls solve() once per outer on identical shapes and paid a full
-# recompile each time (measured ~7 s/outer for the unrolled lbfgs graph).
+# AOT chunk executables keyed by (static config, abstract arg signature):
+# ``.lower().compile()`` bypasses jit's own cache, so without this every
+# solve() call recompiles — the equality-constrained AL outer loop calls
+# solve() once per outer on identical shapes and paid a full recompile each
+# time (measured ~7 s/outer for the unrolled lbfgs graph).  Shared by the
+# single-process and mesh-sharded drivers.
 _AOT_CACHE: dict = {}
 _AOT_CACHE_MAX = 64
 
 
-def _aot_chunk_executable(runner, dp, state, L_est, opts, method, chunk):
-    leaves, treedef = jax.tree_util.tree_flatten((dp, state, L_est))
+def cached_executable(static_key, sig_args, build):
+    """Memoise ``build()`` (a .lower().compile() closure) on ``static_key``
+    plus the treedef + shape/dtype signature of ``sig_args``."""
+    leaves, treedef = jax.tree_util.tree_flatten(sig_args)
     sig = tuple(
         (np.shape(leaf), str(getattr(leaf, "dtype", type(leaf).__name__)))
         for leaf in leaves
     )
-    key = (runner is _run_chunk_multi, opts, method, chunk, treedef, sig)
+    key = (static_key, treedef, sig)
     compiled = _AOT_CACHE.get(key)
     if compiled is None:
-        compiled = runner.lower(dp, state, L_est, opts, method, chunk).compile()
+        compiled = build()
         if len(_AOT_CACHE) >= _AOT_CACHE_MAX:  # drop the oldest entry
             _AOT_CACHE.pop(next(iter(_AOT_CACHE)))
         _AOT_CACHE[key] = compiled
     return compiled
+
+
+def _aot_chunk_executable(runner, dp, state, L_est, opts, method, chunk):
+    return cached_executable(
+        (runner is _run_chunk_multi, opts, method, chunk),
+        (dp, state, L_est),
+        lambda: runner.lower(dp, state, L_est, opts, method, chunk).compile(),
+    )
 
 
 def solve(
@@ -326,10 +337,24 @@ def solve(
     if isinstance(problem, Problem) and problem.C is not None:
         from .eq_constrained import solve_equality_constrained
 
+        # the AL outer loop supports a subset of solve()'s surface — reject
+        # the rest loudly instead of silently ignoring it
+        unsupported = {
+            "space": space != "x", "callback": callback is not None,
+            "certify": certify > 0, "metrics": metrics is not None,
+            "checkpoint_path": checkpoint_path is not None, "resume": resume,
+            "lipschitz": lipschitz is not None,
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        if bad:
+            raise ValueError(
+                f"equality-constrained solve does not support {bad}; run the "
+                "AL loop manually via solvers.eq_constrained if needed"
+            )
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
-            unroll=unroll, lbfgs_mem=lbfgs_mem,
+            unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0,
         )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded

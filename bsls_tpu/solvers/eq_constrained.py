@@ -130,7 +130,12 @@ def solve_equality_constrained(
     # rho starts an order below the data term, so scales are data-dominated).
     if op_cache is None:
         op_cache = {}
-    key = ("op", np.shape(b))
+    # key on the operator identity (the A/C objects — stable when callers
+    # swap only the RHS via dataclasses.replace, as serving.Endpoint does)
+    # and dtype, not just the batch shape: a caller-shared dict across
+    # different instances must never silently reuse the wrong prepared
+    # operator
+    key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)), np.shape(b))
     dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
     for outer in range(outer_iters):
         sr = np.sqrt(rho)

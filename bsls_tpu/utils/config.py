@@ -19,8 +19,8 @@ class RunConfig:
     seed: int = 0
     instance_kwargs: dict = field(default_factory=dict)
     # solver
-    method: str = "pgd"  # pgd | apgd | eg | frank_wolfe
-    line_search: str = "exact"  # exact | bb | fixed | pava
+    method: str = "pgd"  # pgd | apgd | lbfgs | eg | frank_wolfe | afw
+    line_search: str = "exact"  # exact | bb | bbm | fixed | pava
     tol: float = 1e-6
     max_iter: int = 10_000
     chunk: int = 100

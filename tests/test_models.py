@@ -171,3 +171,20 @@ def test_mat73_loader(tmp_path):
     np.testing.assert_allclose(prob.A.matvec(x_true), b, atol=1e-10)
     np.testing.assert_allclose(prob.C.matvec(x_true), d, atol=1e-10)
     np.testing.assert_allclose(prob.x_true, x_true, atol=1e-12)
+
+    # single-ROW dense C: MATLAB (1, n) is stored as HDF5 (n, 1) and must
+    # load as a 2-D (1, n) matrix, not get raveled to 1-D
+    path1 = str(tmp_path / "inst73_c1.mat")
+    with h5py.File(path1, "w") as f:
+        g = f.create_group("A")
+        g.attrs["MATLAB_sparse"] = np.uint64(A.shape[0])
+        g.create_dataset("data", data=A.data)
+        g.create_dataset("ir", data=A.indices.astype(np.uint64))
+        g.create_dataset("jc", data=A.indptr.astype(np.uint64))
+        f.create_dataset("b", data=b.reshape(1, -1))
+        f.create_dataset("block_sizes", data=sizes.astype(np.float64).reshape(1, -1))
+        f.create_dataset("C", data=C[:1].T)  # (n, 1) on disk
+        f.create_dataset("d", data=d[:1].reshape(1, -1))
+    prob1 = Problem.load(path1)
+    assert prob1.C.shape == (1, n)
+    np.testing.assert_allclose(prob1.C.matvec(x_true), d[:1], atol=1e-10)
