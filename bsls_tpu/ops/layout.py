@@ -995,6 +995,16 @@ def rdot(dp: DeviceProblem, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.psum(s, dp.row_axis) if dp.row_axis else s
 
 
+def xmatdot(dp: DeviceProblem, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched x-space dots: (K, n_pf) @ (n_pf,) -> (K,), psummed over the
+    column shards like xdot.  One fused reduction instead of K serial dots
+    (the L-BFGS compact form's history products).  HIGHEST: small-K
+    contractions are MXU-eligible and the default bf16 passes break 1e-6
+    convergence (BASELINE.md precision law)."""
+    s = jnp.einsum("kn,n->k", M, v, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.psum(s, dp.col_axis) if dp.col_axis else s
+
+
 # back-compat name used throughout the solvers for x-space dots
 pvdot = xdot
 

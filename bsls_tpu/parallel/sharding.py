@@ -53,8 +53,9 @@ _LEAF_SPECS = {
 _KIND_SPECS = {
     "x": P(SCENARIO_AXIS, BLOCK_AXIS, None),  # padded bucket (S, Bk, w)
     "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),  # PF flat (S, n_pf)
-    "xflat_hist": P(SCENARIO_AXIS, None, BLOCK_AXIS),  # (S, M, n_pf) ring buffer
+    "xflat_hist": P(SCENARIO_AXIS, None, BLOCK_AXIS),  # (S, M, n_pf) shift buffer
     "hist": P(SCENARIO_AXIS, None),  # (S, M) per-pair scalars
+    "gram": P(SCENARIO_AXIS, None, None),  # (S, M, M) replicated Gram
     "r": P(SCENARIO_AXIS, None),  # residual-space (S, m)
     "scalar": P(SCENARIO_AXIS),  # per-scenario scalar
 }
@@ -63,6 +64,7 @@ _KIND_SPECS_ROWS = {
     "xflat": P(SCENARIO_AXIS, None),
     "xflat_hist": P(SCENARIO_AXIS, None, None),
     "hist": P(SCENARIO_AXIS, None),
+    "gram": P(SCENARIO_AXIS, None, None),
     "r": P(SCENARIO_AXIS, BLOCK_AXIS),
     "scalar": P(SCENARIO_AXIS),
 }
@@ -105,6 +107,7 @@ _KIND_SPECS_2D = {
     "xflat": P(SCENARIO_AXIS, BLOCK_AXIS),
     "xflat_hist": P(SCENARIO_AXIS, None, BLOCK_AXIS),
     "hist": P(SCENARIO_AXIS, None),
+    "gram": P(SCENARIO_AXIS, None, None),
     "r": P(SCENARIO_AXIS, ROW_AXIS),  # residual by row shard
     "scalar": P(SCENARIO_AXIS),
 }

@@ -210,6 +210,30 @@ def test_lbfgs_monotone_and_fast(tiny):
     assert it_lb < it_pgd, (it_lb, it_pgd)
 
 
+def test_lbfgs_compact_matches_two_loop(tiny):
+    """The compact (BNS) inverse-Hessian product — the production path —
+    must agree with the classic two-loop recursion on a live trajectory,
+    including the not-yet-full and rejected-slot cases."""
+    import jax.numpy as jnp
+
+    from bsls_tpu.ops import layout as L, quadratic as Q
+    from bsls_tpu.solvers import lbfgs as lb
+    from bsls_tpu.solvers.base import SolveOptions, power_lipschitz
+
+    prob, _ = tiny
+    dp = L.prepare(prob)
+    opts = SolveOptions(method="lbfgs", lbfgs_mem=5)
+    L_est = power_lipschitz(dp)
+    st = lb.init(dp, L_est, opts)
+    for i in range(12):  # spans empty -> partial -> full -> wrapped memory
+        st = lb.step(dp, st, L_est, opts)
+        g = Q.grad_flat(dp, st.r)
+        qc = lb.compact_hg(dp, g, st)
+        qt = lb.two_loop_hg(dp, g, st)
+        rel = float(jnp.linalg.norm(qc - qt) / (1e-30 + jnp.linalg.norm(qt)))
+        assert rel < 5e-4, (i, rel)
+
+
 def test_lbfgs_tiny_memory_ring_buffer(tiny):
     """lbfgs_mem=1 exercises the ring-buffer wraparound every iteration and
     must still converge (degenerates to a scaled-gradient arc)."""
