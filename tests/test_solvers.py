@@ -210,6 +210,42 @@ def test_lbfgs_monotone_and_fast(tiny):
     assert it_lb < it_pgd, (it_lb, it_pgd)
 
 
+def test_lbfgs_multi_rhs_oracle_parity():
+    """Scenario-vmapped lbfgs: per-scenario solves match per-scenario
+    single solves (the compact-form Gram machinery under vmap)."""
+    base = synthetic.tiny_dense(seed=7, num_blocks=30, dim=6, m=200)
+    prob = synthetic.with_scenarios(base, 3, seed=8)
+    res = bsls.solve(prob, method="lbfgs", tol=1e-8, max_iter=3000, chunk=100)
+    from dataclasses import replace
+
+    for s in range(3):
+        r1 = bsls.solve(replace(base, b=np.asarray(prob.b)[s]),
+                        method="lbfgs", tol=1e-8, max_iter=3000, chunk=100)
+        np.testing.assert_allclose(
+            float(np.asarray(res.objective)[s]), float(r1.objective),
+            rtol=1e-5, atol=1e-8)
+
+
+def test_equality_constrained_sparse_C():
+    """AL loop with a SPARSE (EllMatrix) constraint matrix — the VStack
+    operator must not densify C."""
+    import scipy.sparse as sp
+    from bsls_tpu.models.problem import EllMatrix, Problem
+
+    base = synthetic.traffic_like(num_blocks=30, m=150, num_eq=0, noise=0.0)
+    n = base.A.shape[1]
+    rng = np.random.default_rng(3)
+    C_sp = sp.random(6, n, density=0.15, random_state=rng, format="csr")
+    x_feas = synthetic.random_block_x(rng, base.partition.sizes)
+    d = C_sp @ x_feas
+    b = base.A.matvec(x_feas)
+    prob = Problem.from_arrays(base.A, b, base.partition.sizes, C=C_sp, d=d)
+    assert isinstance(prob.C, EllMatrix)
+    res = bsls.solve(prob, method="lbfgs", tol=1e-7, max_iter=4000, chunk=200)
+    assert res.eq_violation <= 1e-4
+    assert float(res.objective) <= 1e-6  # noiseless planted x => f* = 0 (fp32 floor)
+
+
 def test_lbfgs_compact_matches_two_loop(tiny):
     """The compact (BNS) inverse-Hessian product — the production path —
     must agree with the classic two-loop recursion on a live trajectory,
