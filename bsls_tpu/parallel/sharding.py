@@ -319,6 +319,21 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
     return tuple(out)
 
 
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly globally-sharded) jax.Array to a full numpy array.
+
+    Single-process: plain np.asarray (global arrays gather transparently).
+    Multi-process (a real pod): shards on other hosts are non-addressable,
+    so gather them with multihost_utils.process_allgather — every process
+    gets the full value (results/traces are small relative to A).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def extract_sharded(dp, part, xp) -> np.ndarray:
     """Host-side extraction for the sharded path: (S, N) user-flat solution.
 
@@ -327,11 +342,11 @@ def extract_sharded(dp, part, xp) -> np.ndarray:
     a bucket-wise concat is bucket-major, so perm-based extraction would
     scramble multi-bucket (ragged) problems.
     """
-    xs = [np.asarray(x) for x in xp]  # each (S, Bk, w)
+    xs = [to_host(x) for x in xp]  # each (S, Bk, w)
     S = xs[0].shape[0]
     out = np.zeros((S, part.n_flat), xs[0].dtype)
     for b, bk, x in zip(part.buckets, dp.buckets, xs):
-        radius = np.asarray(bk.radius)  # (Bk,)
+        radius = to_host(bk.radius)  # (Bk,)
         m = b.mask.astype(bool)
         vals = x / np.maximum(radius, 1e-30)[None, :, None]
         out[:, b.pad_to_flat[m]] = vals[:, m]
@@ -520,8 +535,8 @@ def solve_sharded(
         from ..solvers.base import MAX_SYNC_CHUNKS as _MS, pack_chunk_stats
 
         k_sync = min(since_sync, _MS)
-        fg = np.asarray(pack_chunk_stats(traces_f, traces_g, k_sync,
-                                         state.f.dtype))  # (2, 32, S)
+        fg = to_host(pack_chunk_stats(traces_f, traces_g, k_sync,
+                                      state.f.dtype))  # (2, 32, S)
         t1 = time.perf_counter()
         ctimes.append(t1 - t0)
         t0 = t1
@@ -565,10 +580,10 @@ def solve_sharded(
         trace_f, trace_gap = empty, empty
     else:
         # traces lived on device during the loop: one transfer each
-        trace_f = np.asarray(jnp.concatenate(traces_f, axis=1))
-        trace_gap = np.asarray(jnp.concatenate(traces_g, axis=1))
-    f = np.asarray(state.f)
-    gap = np.asarray(state.gap)
+        trace_f = to_host(jnp.concatenate(traces_f, axis=1))
+        trace_gap = to_host(jnp.concatenate(traces_g, axis=1))
+    f = to_host(state.f)
+    gap = to_host(state.gap)
     if single_rhs:
         x, f, gap = x[0], f[0], gap[0]
     return SolveResult(

@@ -1,0 +1,72 @@
+"""True multi-process distributed test (SURVEY.md §4b: "multi-process
+single-host tests via jax.distributed.initialize").
+
+Two OS processes, each owning 4 virtual CPU devices, bootstrap through
+``parallel.mesh.init_distributed`` (the same entry a pod uses), build one
+global 8-device mesh, and run ``solve_sharded`` end-to-end — exercising
+cross-process collectives (Gloo) AND the non-addressable-shard host
+readbacks (``to_host``/process_allgather) that a transparently-gathering
+single-process run never hits.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bsls_tpu.parallel.mesh import init_distributed
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+import numpy as np
+from bsls_tpu.parallel import make_mesh, solve_sharded
+from bsls_tpu.models import synthetic
+
+prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+mesh = make_mesh(block=8, scenario=1)
+res = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=400, chunk=100)
+print("RESULT", float(np.asarray(res.objective).max()),
+      float(np.abs(np.asarray(res.x)).sum()), flush=True)
+"""
+
+
+def test_two_process_solve_matches_single_process():
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    port = "9381"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    vals = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        _, f, xsum = line.split()
+        vals.append((float(f), float(xsum)))
+    # both processes must agree bit-for-bit on the gathered result
+    assert vals[0] == vals[1], vals
+
+    # and match the single-(this-)process solve of the same instance
+    import bsls_tpu as bsls
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh, solve_sharded
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+    mesh = make_mesh(block=8, scenario=1)
+    ref = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=400, chunk=100)
+    np.testing.assert_allclose(vals[0][0], float(np.asarray(ref.objective).max()),
+                               rtol=1e-5, atol=1e-8)
