@@ -142,7 +142,10 @@ def load_state(path: str, like: Any):
     leaves = []
     for i, ref in enumerate(leaves_like):
         want_shape = tuple(np.shape(ref))
-        want_dtype = np.dtype(getattr(ref, "dtype", np.asarray(ref).dtype))
+        # NB: getattr's default is evaluated eagerly — np.asarray there
+        # would fetch sharded leaves (fails on non-addressable shards)
+        dt = getattr(ref, "dtype", None)
+        want_dtype = np.dtype(dt) if dt is not None else np.asarray(ref).dtype
         if f"leaf_{i}" in raw0.files:
             a = raw0[f"leaf_{i}"]
         else:

@@ -37,6 +37,79 @@ print("RESULT", float(np.asarray(res.objective).max()),
 """
 
 
+_WORKER_CKPT = """
+import os, sys
+pid, nproc, port, ckpt, phase = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4], sys.argv[5])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bsls_tpu.parallel.mesh import init_distributed
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+from bsls_tpu.parallel import make_mesh, solve_sharded
+from bsls_tpu.models import synthetic
+
+prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+mesh = make_mesh(block=8, scenario=1)
+if phase == "first":
+    res = solve_sharded(prob, mesh, method="pgd", tol=0.0, max_iter=200,
+                        chunk=50, checkpoint_path=ckpt, checkpoint_every=1)
+else:
+    res = solve_sharded(prob, mesh, method="pgd", tol=0.0, max_iter=400,
+                        chunk=50, checkpoint_path=ckpt, checkpoint_every=1,
+                        resume=True)
+print("RESULT", float(np.asarray(res.objective).max()), res.iterations, flush=True)
+"""
+
+
+def _run_pair(script, args, timeout=240):
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid)] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    return [
+        [ln for ln in out.splitlines() if ln.startswith("RESULT")][0].split()[1:]
+        for out in outs
+    ]
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Per-process shard dumps + resume across a 2-process mesh: run 200
+    iters with per-chunk checkpoints, then a fresh 2-process job resumes
+    from the per-proc files and continues to 400."""
+    ckpt = str(tmp_path / "dist_ck.npz")
+    _run_pair(_WORKER_CKPT, ["2", "9382", ckpt, "first"])
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "dist_ck*.proc0.npz"))
+    assert _glob.glob(str(tmp_path / "dist_ck*.proc1.npz"))
+    vals = _run_pair(_WORKER_CKPT, ["2", "9383", ckpt, "resume"])
+    assert vals[0] == vals[1], vals
+    f_res, it_res = float(vals[0][0]), int(vals[0][1])
+    assert it_res == 400
+
+    # straight 400-iteration single-process reference on the same mesh
+    import bsls_tpu  # noqa: F401  (platform pinned by conftest)
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh, solve_sharded
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+    mesh = make_mesh(block=8, scenario=1)
+    ref = solve_sharded(prob, mesh, method="pgd", tol=0.0, max_iter=400, chunk=50)
+    np.testing.assert_allclose(f_res, float(np.asarray(ref.objective).max()),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_two_process_solve_matches_single_process():
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
     env["JAX_PLATFORMS"] = "cpu"
