@@ -304,7 +304,7 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
     S = x_user.shape[0]
     out = []
     for b, bk in zip(part.buckets, dp.buckets):
-        radius = np.asarray(bk.radius)
+        radius = to_host(bk.radius)
         arr = np.zeros((S, bk.mask.shape[0], b.width), np.float32)
         m = b.mask.astype(bool)
         vals = x_user[:, b.pad_to_flat] * radius[None, :, None]

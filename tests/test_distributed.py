@@ -110,6 +110,37 @@ def test_two_process_checkpoint_resume(tmp_path):
                                rtol=1e-5, atol=1e-8)
 
 
+_WORKER_EQ = """
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bsls_tpu.parallel.mesh import init_distributed
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+from bsls_tpu.parallel import make_mesh
+from bsls_tpu.models import synthetic
+from bsls_tpu.solvers.eq_constrained import solve_equality_constrained
+
+prob = synthetic.traffic_like(seed=4, num_blocks=32, m=64, num_eq=4, noise=0.0)
+mesh = make_mesh(block=8, scenario=1)
+res = solve_equality_constrained(prob, method="apgd", mesh=mesh, tol=1e-6,
+                                 max_iter=2000, chunk=100)
+print("RESULT", float(np.asarray(res.objective).max()), res.eq_violation, flush=True)
+"""
+
+
+def test_two_process_equality_constrained():
+    """The AL outer loop round-trips host<->device every outer (gathered
+    violation check, re-injected warm start) — all of it must survive a
+    mesh that spans processes."""
+    vals = _run_pair(_WORKER_EQ, ["2", "9384"])
+    assert vals[0] == vals[1], vals
+    assert float(vals[0][1]) <= 1e-4  # eq violation
+    assert float(vals[0][0]) <= 1e-6  # noiseless planted x => f* ~ 0
+
+
 def test_two_process_solve_matches_single_process():
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
     env["JAX_PLATFORMS"] = "cpu"
