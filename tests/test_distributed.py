@@ -141,6 +141,41 @@ def test_two_process_equality_constrained():
     assert float(vals[0][0]) <= 1e-6  # noiseless planted x => f* ~ 0
 
 
+_WORKER_LAYOUTS = """
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bsls_tpu.parallel.mesh import init_distributed
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+from bsls_tpu.parallel import make_mesh, solve_sharded
+from bsls_tpu.models import synthetic
+
+# row-sharded ELL (the SP/CP analog) over a cross-process block axis
+prob = synthetic.medium_sparse(seed=3, num_blocks=16, m=64)
+mesh = make_mesh(block=8, scenario=1)
+r1 = solve_sharded(prob, mesh, method="pgd", tol=1e-7, max_iter=300,
+                   chunk=100, shard_rows=True)
+# 2-D (row x col) grid + scenario axis, all spanning processes
+mesh2 = make_mesh(row=2, block=2, scenario=2)
+p2 = synthetic.large_sharded(seed=5, num_blocks=16, dim=4, m=64,
+                             num_scenarios=2, block_multiple=2, noise=1e-3)
+r2 = solve_sharded(p2, mesh2, method="pgd", tol=1e-7, max_iter=200, chunk=50)
+print("RESULT", float(np.asarray(r1.objective).max()),
+      float(np.asarray(r2.objective).max()), flush=True)
+"""
+
+
+def test_two_process_row_and_2d_layouts():
+    """Row-sharded ELL and the 2-D (row x col x scenario) grid must run
+    when every mesh axis spans OS processes."""
+    vals = _run_pair(_WORKER_LAYOUTS, ["2", "9385"])
+    assert vals[0] == vals[1], vals
+    assert all(np.isfinite(float(v)) for v in vals[0])
+
+
 def test_two_process_solve_matches_single_process():
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
     env["JAX_PLATFORMS"] = "cpu"
