@@ -548,14 +548,17 @@ def solve_sharded(
                 break
         f_last, gap_last = fg[0, -1], fg[1, -1]
         rel = gap_last / np.maximum(1.0, np.abs(f_last))
-        if metrics is not None:
+        # metrics/prints on process 0 only (every process sees the same
+        # gathered stats on a pod; checkpoints stay per-process — each
+        # writes its own shard file)
+        if metrics is not None and jax.process_index() == 0:
             metrics.log("chunk", iteration=it, f=f_last.tolist(),
                         relgap=rel.tolist(), secs=ctimes[-1])
         if checkpoint_path and checkpoint_every and chunks_done % checkpoint_every == 0:
             from ..utils.checkpoint import save_state
 
             save_state(checkpoint_path, state, meta={"iteration": it}, keep=checkpoint_keep)
-        if verbose:
+        if verbose and jax.process_index() == 0:
             print(f"[sharded] iter {it}: f={f_last} relgap={rel}")
         if stop_at is not None:
             converged = True
