@@ -304,7 +304,7 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
     S = x_user.shape[0]
     out = []
     for b, bk in zip(part.buckets, dp.buckets):
-        radius = to_host(bk.radius)
+        radius = _radius_host(bk)
         arr = np.zeros((S, bk.mask.shape[0], b.width), np.float32)
         m = b.mask.astype(bool)
         vals = x_user[:, b.pad_to_flat] * radius[None, :, None]
@@ -319,19 +319,44 @@ def inject_sharded(dp, part, x_user: np.ndarray, mesh):
     return tuple(out)
 
 
-def to_host(x) -> np.ndarray:
-    """Fetch a (possibly globally-sharded) jax.Array to a full numpy array.
+def to_host(x):
+    """Fetch a (possibly globally-sharded) array pytree to full numpy arrays.
 
-    Single-process: plain np.asarray (global arrays gather transparently).
-    Multi-process (a real pod): shards on other hosts are non-addressable,
-    so gather them with multihost_utils.process_allgather — every process
-    gets the full value (results/traces are small relative to A).
+    Decided per leaf on ADDRESSABILITY, not process count: only leaves with
+    shards on other hosts need multihost_utils.process_allgather (which
+    replicates them — every process gets the full value); fully-addressable
+    leaves go through plain np.asarray.  Feeding an already-addressable
+    array to process_allgather would CONCATENATE it across processes
+    (host-local-data semantics) and return an nproc-times-larger array.
     """
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    def fetch(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return np.asarray(x)
+            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+        return np.asarray(leaf)
+
+    return jax.tree_util.tree_map(fetch, x)
+
+
+# host copies of per-bucket radii (static for the lifetime of a prepared
+# problem): the AL outer loop and the serving path call inject/extract once
+# per outer/request, and each cross-host gather is a collective dispatch —
+# memoise keyed on the device array's identity (the cached entry holds the
+# array itself, so the id cannot be recycled while the entry lives).
+_RADIUS_HOST_CACHE: dict = {}
+
+
+def _radius_host(bk) -> np.ndarray:
+    key = id(bk.radius)
+    hit = _RADIUS_HOST_CACHE.get(key)
+    if hit is not None and hit[0] is bk.radius:
+        return hit[1]
+    r = to_host(bk.radius)
+    if len(_RADIUS_HOST_CACHE) >= 64:
+        _RADIUS_HOST_CACHE.clear()
+    _RADIUS_HOST_CACHE[key] = (bk.radius, r)
+    return r
 
 
 def extract_sharded(dp, part, xp) -> np.ndarray:
@@ -346,7 +371,7 @@ def extract_sharded(dp, part, xp) -> np.ndarray:
     S = xs[0].shape[0]
     out = np.zeros((S, part.n_flat), xs[0].dtype)
     for b, bk, x in zip(part.buckets, dp.buckets, xs):
-        radius = to_host(bk.radius)  # (Bk,)
+        radius = _radius_host(bk)  # (Bk,)
         m = b.mask.astype(bool)
         vals = x / np.maximum(radius, 1e-30)[None, :, None]
         out[:, b.pad_to_flat[m]] = vals[:, m]
@@ -567,6 +592,16 @@ def solve_sharded(
         chunk_wall = ctimes[-1] / since_sync
         sync_every = int(np.clip(round(SYNC_TARGET_SECS / max(chunk_wall, 1e-6)),
                                  1, max_sync))
+        if jax.process_count() > 1:
+            # cadence must be identical on every process — it decides WHEN
+            # the next cross-process gather happens, and per-process wall
+            # clocks differ; diverged cadences would issue mismatched
+            # collectives (chunk_fn on one host, the stats gather on
+            # another) and deadlock the pod.  Broadcast proc 0's choice.
+            from jax.experimental import multihost_utils
+
+            sync_every = int(multihost_utils.broadcast_one_to_all(
+                np.asarray(sync_every, np.int32)))
         since_sync = 0
     if checkpoint_path and checkpoint_every:
         from ..utils.checkpoint import save_state

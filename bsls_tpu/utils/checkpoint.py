@@ -48,10 +48,13 @@ def _proc_suffix() -> str:
 
 
 def _is_sharded(x) -> bool:
+    # shard-dump path for any non-replicated placement: multiple local
+    # shards OR shards on other hosts (a pod with 1 device per host has
+    # exactly one addressable shard yet must NOT be np.asarray'd)
     return (
         isinstance(x, jax.Array)
         and not x.is_fully_replicated
-        and len(x.addressable_shards) > 1
+        and (len(x.addressable_shards) > 1 or not x.is_fully_addressable)
     )
 
 
