@@ -174,6 +174,19 @@ bsls.solve(prob, method="pgd", tol=0.0, max_iter=100000, chunk=50,
     )
 
 
+def test_installed_cli_module(tmp_path):
+    """`python -m bsls_tpu` is the installed CLI surface — must work from
+    any cwd (no repo-relative path assumptions)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "bsls_tpu", "--config", "tiny", "--method",
+         "pgd", "--max-iter", "300", "--platform", "cpu"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["method"] == "pgd" and np.isfinite(row["objective"])
+
+
 def test_aot_executable_cache_prevents_recompiles():
     """Repeat solve() calls with identical shapes/options must reuse ONE
     AOT chunk executable — the eq-constrained AL loop calls solve once per
