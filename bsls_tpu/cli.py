@@ -169,5 +169,11 @@ def main(argv=None):
     return out
 
 
+def script_main() -> None:
+    """Console-script entry: a truthy return from main() would become
+    SystemExit(dict) (repr printed, nonzero exit) under setuptools."""
+    main()
+
+
 if __name__ == "__main__":
     main()
