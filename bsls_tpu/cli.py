@@ -94,11 +94,9 @@ def main(argv=None):
     t_gen = time.perf_counter() - t_gen
 
     f_star = None
-    if cfg.oracle and prob.C is not None:
-        print("# oracle skipped: instance has equality constraints (the CPU "
-              "oracle certifies the unconstrained optimum only)", file=sys.stderr)
-        cfg.oracle = False
     if cfg.oracle:
+        from bsls_tpu.models import oracle_solve_eq
+
         # cache per (config, seed): the float64 oracle on large instances
         # costs minutes and is deterministic
         cache_dir = os.environ.get(
@@ -108,7 +106,11 @@ def main(argv=None):
             with open(cache) as fh:
                 f_star = json.load(fh)["objective"]
         else:
-            orc = oracle_solve(prob, tol_gap=1e-8, max_iter=25000)
+            # eq-constrained instances route through the float64 AL oracle
+            # (sound Lagrangian dual bound); unconstrained through FISTA
+            orc = (oracle_solve_eq(prob, tol_eq=1e-9, tol_gap=1e-10)
+                   if prob.C is not None
+                   else oracle_solve(prob, tol_gap=1e-8, max_iter=25000))
             f_star = orc.objective
             if cfg.config in _CONFIGS:
                 os.makedirs(cache_dir, exist_ok=True)
@@ -135,7 +137,12 @@ def main(argv=None):
                 unroll=cfg.unroll,
                 step_size=cfg.step_size,
                 mesh=mesh,
-                metrics=mw if mesh is None else None,
+                # pass the writer only when the user asked for metrics (the
+                # eq path rejects one loudly; a disabled default must not
+                # trip that) — explicitly-set options still flow through so
+                # unsupported combinations error instead of silently dropping
+                metrics=(mw if mesh is None and prob.C is None
+                         and cfg.metrics_path else None),
                 checkpoint_path=cfg.checkpoint_path if mesh is None else None,
                 checkpoint_every=cfg.checkpoint_every or 0,
                 resume=bool(cfg.resume),

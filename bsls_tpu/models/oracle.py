@@ -21,7 +21,7 @@ import numpy as np
 
 from .problem import Problem
 
-__all__ = ["OracleResult", "fw_gap_np", "oracle_solve"]
+__all__ = ["OracleResult", "fw_gap_np", "oracle_solve", "oracle_solve_eq"]
 
 
 @dataclass
@@ -30,6 +30,7 @@ class OracleResult:
     objective: float
     gap: float  # FW duality gap certificate: f(x) - f* <= gap
     iterations: int
+    eq_violation: float | None = None  # ||Cx - d||_inf / max(1, ||d||_inf)
 
 
 def fw_gap_np(g: np.ndarray, x: np.ndarray, sizes: np.ndarray) -> float:
@@ -161,3 +162,109 @@ def oracle_solve(
             if gap <= tol_gap:
                 break
     return OracleResult(x=x, objective=problem.objective_np(x), gap=gap, iterations=it)
+
+
+def oracle_solve_eq(
+    problem: Problem,
+    tol_eq: float = 1e-9,
+    tol_gap: float = 1e-10,
+    max_outer: int = 40,
+    inner_iter: int = 20000,
+    scenario: int | None = None,
+) -> OracleResult:
+    """Float64 oracle for the EQUALITY-CONSTRAINED variant (config 3).
+
+    Augmented-Lagrangian outer loop over ``oracle_solve`` inners on the
+    stacked quadratic  0.5||[A; sqrt(rho) C] x - [b; sqrt(rho)(d - lam/rho)]||^2
+    (the same formulation the device solver uses, in numpy float64).
+
+    The reported ``gap`` is a SOUND bound on f(x) - f* for the constrained
+    problem via Lagrangian duality: with the final multipliers lam,
+
+        q(lam) = min_{v in product-of-simplices} f(v) + lam.(Cv - d)
+               >= [f(x) + lam.(Cx - d)] - gap_FW(grad f(x) + C^T lam, x)
+
+    so  f(x) - f* <= f(x) - q(lam) <= gap_FW(...) - lam.(Cx - d).
+    """
+    import scipy.sparse as sp
+
+    if problem.C is None:
+        return oracle_solve(problem, tol_gap=tol_gap, max_iter=inner_iter,
+                            scenario=scenario)
+    from dataclasses import replace as dc_replace
+
+    A_csr = sp.csr_matrix(problem.A.to_scipy()).astype(np.float64)
+    C_csr = sp.csr_matrix(problem.C.to_scipy()).astype(np.float64)
+    b = np.asarray(problem.b, np.float64)
+    if b.ndim == 2:
+        b = b[0 if scenario is None else scenario]
+    d = np.asarray(problem.d, np.float64)
+    if d.ndim == 2:
+        d = d[0 if scenario is None else scenario]
+    part = problem.partition
+    sizes = part.sizes
+
+    op_A = _ScipyOp(problem.A)
+    L_A = _power_iteration_sq_norm(op_A, part.n_flat)
+
+    class _Raw:
+        def __init__(self, M):
+            self.M, self.Mt = M, sp.csr_matrix(M.T)
+
+        def matvec(self, x):
+            return self.M @ x
+
+        def rmatvec(self, r):
+            return self.Mt @ r
+
+    L_C = _power_iteration_sq_norm(_Raw(C_csr), part.n_flat)
+    rho = max(1.0, 0.1 * L_A / max(L_C, 1e-30))
+    lam = np.zeros(d.shape, np.float64)
+    dref = max(1.0, float(np.abs(d).max())) if d.size else 1.0
+    x = None
+    viol_prev = np.inf
+    total_inner = 0
+    for _ in range(max_outer):
+        sr = np.sqrt(rho)
+        A_st = sp.vstack([A_csr, sr * C_csr], format="csr")
+        b_st = np.concatenate([b, sr * (d - lam / rho)])
+        p_st = dc_replace(problem, A=_WrapOp(A_st, (A_st.shape[0], part.n_flat)),
+                          b=b_st, C=None, d=None, x_true=None)
+        res = oracle_solve(p_st, tol_gap=tol_gap, max_iter=inner_iter)
+        x = res.x
+        total_inner += res.iterations
+        cx_d = C_csr @ x - d
+        viol = float(np.abs(cx_d).max()) / dref if d.size else 0.0
+        lam = lam + rho * cx_d
+        if viol <= tol_eq:
+            break
+        if viol > 0.25 * viol_prev:  # not shrinking fast enough
+            rho *= 10.0
+        viol_prev = viol
+
+    r = A_csr @ x - b
+    f = 0.5 * float(r @ r)
+    # sound dual bound at (x, lam): FW gap of the Lagrangian minus the
+    # complementarity term (see docstring)
+    gL = A_csr.T @ r + C_csr.T @ lam
+    bound = fw_gap_np(gL, x, sizes) - float(lam @ (C_csr @ x - d))
+    return OracleResult(x=x, objective=f, gap=float(bound),
+                        iterations=total_inner,
+                        eq_violation=float(np.abs(C_csr @ x - d).max()) / dref)
+
+
+class _WrapOp:
+    """Duck-typed matrix for oracle_solve: scipy CSR with a .shape."""
+
+    def __init__(self, M, shape):
+        import scipy.sparse as sp
+
+        self.M = M
+        self.Mt = sp.csr_matrix(M.T)
+        self.shape = shape
+
+    def matvec(self, x):
+        return self.M @ x
+
+    def rmatvec(self, r):
+        return self.Mt @ r

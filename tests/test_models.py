@@ -113,6 +113,24 @@ def test_oracle_certifies_tiny():
     assert fw_gap_np(g, res.x, prob.partition.sizes) <= 1e-9
 
 
+def test_eq_oracle_certifies():
+    """Float64 AL oracle for config-3-style instances: near-zero objective
+    on a noiseless planted instance, tight Lagrangian dual bound, and
+    device-solve parity."""
+    import bsls_tpu as bsls
+    from bsls_tpu.models import oracle_solve_eq
+
+    prob = synthetic.traffic_like(num_blocks=25, m=120, num_eq=6, noise=0.0)
+    orc = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-12)
+    assert orc.objective <= 1e-12
+    assert orc.eq_violation <= 1e-9
+    assert orc.gap <= 1e-8  # sound bound: f(x) - f* <= gap
+    # device AL solve matches the certified optimum
+    res = bsls.solve(prob, method="lbfgs", tol=1e-8, max_iter=6000, chunk=200)
+    rel = (float(np.asarray(res.objective)) - orc.objective) / 1.0
+    assert abs(rel) < 1e-5
+
+
 def test_mat_loader_roundtrip(tmp_path):
     """Reference-style MATLAB instance files load through Problem.load."""
     from scipy.io import savemat
