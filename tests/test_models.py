@@ -131,6 +131,46 @@ def test_eq_oracle_certifies():
     assert abs(rel) < 1e-5
 
 
+def test_eq_oracle_matches_scipy_slsqp():
+    """Independent cross-check: on a tiny noisy instance the AL oracle's
+    constrained optimum must match scipy SLSQP (a completely different
+    algorithm) to optimizer precision."""
+    from scipy.optimize import LinearConstraint, minimize
+
+    from bsls_tpu.models import oracle_solve_eq
+
+    prob = synthetic.traffic_like(seed=6, num_blocks=6, m=30, num_eq=3,
+                                  noise=0.2)
+    orc = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-12)
+
+    A = prob.A.to_scipy().toarray() if hasattr(prob.A, "to_scipy") else prob.A.data
+    C = prob.C.data if hasattr(prob.C, "data") else prob.C.to_scipy().toarray()
+    b, d = np.asarray(prob.b, float), np.asarray(prob.d, float)
+    n = A.shape[1]
+    sizes = prob.partition.sizes
+    # block sum-to-one rows
+    S = np.zeros((len(sizes), n))
+    off = 0
+    for i, s in enumerate(sizes):
+        S[i, off:off + s] = 1.0
+        off += s
+
+    def f(x):
+        r = A @ x - b
+        return 0.5 * float(r @ r)
+
+    x0 = np.concatenate([np.full(int(s), 1.0 / s) for s in sizes])
+    res = minimize(
+        f, x0, jac=lambda x: A.T @ (A @ x - b), method="SLSQP",
+        bounds=[(0.0, 1.0)] * n,
+        constraints=[LinearConstraint(S, 1.0, 1.0), LinearConstraint(C, d, d)],
+        options={"maxiter": 2000, "ftol": 1e-14},
+    )
+    assert res.success, res.message
+    assert abs(orc.objective - res.fun) <= 1e-8 + 1e-6 * abs(res.fun), (
+        orc.objective, res.fun)
+
+
 def test_mat_loader_roundtrip(tmp_path):
     """Reference-style MATLAB instance files load through Problem.load."""
     from scipy.io import savemat
