@@ -61,6 +61,84 @@ def analyze(config: str, blocks):
     return rows
 
 
+_PROC_WORKER = """
+import os, sys, json
+pid, nproc, port, cfg = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], json.loads(sys.argv[4])
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={cfg['local_devices']}"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bsls_tpu.parallel.mesh import init_distributed
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+import numpy as np
+from bsls_tpu.models import synthetic
+from bsls_tpu.models.synthetic import with_scenarios
+from bsls_tpu.parallel import make_mesh, solve_sharded
+import bsls_tpu as bsls
+
+prob = synthetic.make_config(cfg["config"])
+if prob.C is not None:
+    prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name=prob.name)
+prob = with_scenarios(prob, cfg["scenarios"])
+mesh = make_mesh(block=nproc * cfg["local_devices"], scenario=1)
+res = solve_sharded(prob, mesh, method="pgd", tol=0.0,
+                    max_iter=cfg["max_iter"], chunk=cfg["chunk"])
+if pid == 0:
+    print("RESULT", json.dumps({
+        "iters_per_sec": cfg["scenarios"] * res.steady_iters_per_sec(),
+        "objective_max": float(np.max(np.asarray(res.objective))),
+    }), flush=True)
+"""
+
+
+def run_processes(args):
+    """True multi-process scaling row: N OS processes x local_devices
+    virtual CPU devices through jax.distributed — exercises the real
+    cross-process collective path (Gloo here, ICI/DCN on a pod).  All
+    processes share one socket, so treat iters/s as a functional
+    measurement, not interconnect efficiency."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    cfg = _json.dumps({
+        "config": args.config, "scenarios": args.scenarios,
+        "max_iter": args.max_iter, "chunk": args.chunk,
+        "local_devices": max(8 // args.processes, 1),
+    })
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _PROC_WORKER, str(pid), str(args.processes),
+             port, cfg],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in range(args.processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=1200)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(out[-2000:])
+    line = [ln for ln in outs[0].splitlines() if ln.startswith("RESULT")][0]
+    row = {"processes": args.processes, **json.loads(line[len("RESULT "):])}
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="medium")
@@ -71,10 +149,15 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--analyze", action="store_true",
                    help="print the analytic comm/compute scaling model only")
+    p.add_argument("--processes", type=int, default=0,
+                   help="run ONE row with N real OS processes over an "
+                        "8-virtual-CPU-device global mesh (jax.distributed)")
     args = p.parse_args(argv)
 
     if args.analyze:
         return analyze(args.config, args.blocks)
+    if args.processes:
+        return run_processes(args)
 
     if args.platform == "cpu8":
         os.environ["XLA_FLAGS"] = (
