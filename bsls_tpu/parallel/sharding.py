@@ -399,9 +399,14 @@ def solve_sharded(
     x0=None,
     stop_rule: str = "auto",
     lbfgs_mem: int = 8,
+    lipschitz=None,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
+
+    ``problem`` may be a pre-sharded ``(dp, part, single_rhs)`` triple from
+    ``shard_problem`` (the serving path prepares/uploads once and streams
+    right-hand sides); ``lipschitz`` skips the on-mesh power iteration.
 
     ``shard_rows=True`` shards A's ROWS over the block axis instead of its
     columns (the tall-A / sequence-parallel analog, dense A only): the
@@ -430,16 +435,24 @@ def solve_sharded(
             unroll=unroll, lbfgs_mem=lbfgs_mem,
         )
 
-    single_rhs = np.asarray(problem.b).ndim == 1
     grid = dict(mesh.shape).get(ROW_AXIS, 1) > 1
     if grid and shard_rows:
         raise ValueError("use either a row>1 mesh axis (2-D) or shard_rows, not both")
-    if grid:
-        dp, part = shard_problem_2d(problem, mesh, dtype=dtype)
-    elif shard_rows:
-        dp, part = shard_problem_rows(problem, mesh, dtype=dtype)
+    if isinstance(problem, tuple):
+        # pre-sharded (dp, part, single_rhs) from shard_problem — the
+        # serving path prepares/uploads once and streams right-hand sides
+        dp, part, single_rhs = problem
+        if shard_rows or grid:
+            raise ValueError(
+                "pre-sharded solves support column(block) sharding only")
     else:
-        dp, part = shard_problem(problem, mesh, dtype=dtype)
+        single_rhs = np.asarray(problem.b).ndim == 1
+        if grid:
+            dp, part = shard_problem_2d(problem, mesh, dtype=dtype)
+        elif shard_rows:
+            dp, part = shard_problem_rows(problem, mesh, dtype=dtype)
+        else:
+            dp, part = shard_problem(problem, mesh, dtype=dtype)
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size, unroll=unroll,
@@ -448,10 +461,13 @@ def solve_sharded(
     solver = _get_solver(method)
     dspecs = dp_specs(dp, rows=shard_rows, grid=grid)
 
-    lips = jax.jit(
-        jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
-    )
-    L_est = lips(dp)
+    if lipschitz is not None:
+        L_est = jnp.asarray(lipschitz, dp.b.dtype)
+    else:
+        lips = jax.jit(
+            jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
+        )
+        L_est = lips(dp)
 
     def _init(dp_loc, L_loc):
         return jax.vmap(lambda b: solver.init(replace(dp_loc, b=b), L_loc, opts))(dp_loc.b)

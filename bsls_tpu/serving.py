@@ -41,14 +41,46 @@ class Endpoint:
         dtype=jnp.float32,
         equilibrate: bool = True,
         warm_start: bool = True,
+        mesh=None,
     ):
         self.method = method
         self.line_search = line_search
         self.chunk = chunk
         self.dtype = dtype
         self.warm_start = warm_start
+        self.mesh = mesh
         self._problem = problem
         self._eq = problem.C is not None
+        if mesh is not None and self._eq:
+            raise NotImplementedError(
+                "mesh-backed serving supports unconstrained instances; run "
+                "eq-constrained sharded solves via solve_equality_constrained"
+            )
+        if mesh is not None:
+            # pod-sharded serving: shard/upload A once, stream only b —
+            # per-request work is one small device_put + a cached executable
+            from .parallel.sharding import shard_problem
+
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp, part = shard_problem(problem, mesh, dtype=dtype)
+            self._sharded = (dp, part)
+            self._b_sharding = NamedSharding(mesh, P("scenario", None))
+            self._row_perm = (
+                None if dp.row_perm is None else np.asarray(dp.row_perm)
+            )
+            self._m = problem.A.shape[0]
+            # ||A||^2 depends only on A: one on-mesh power iteration at init
+            from .parallel.sharding import dp_specs
+            from .solvers.base import power_lipschitz
+
+            lips = jax.jit(jax.shard_map(
+                power_lipschitz, mesh=mesh, in_specs=(dp_specs(dp),),
+                out_specs=P()))
+            self._lip = float(lips(dp))
+            self._dp = None
+            return
         # warm-multiplier cache for eq-constrained streams: converged AL
         # state (lam, rho, x) of the last request, keyed by batch shape so
         # each compiled width bucket warm-starts from its own kin
@@ -97,8 +129,6 @@ class Endpoint:
 
             from .solvers.eq_constrained import solve_equality_constrained
 
-            import jax.numpy as jnp
-
             b = np.asarray(b, dtype=np.dtype(jnp.dtype(self.dtype).name))
             if b.shape[-1] != self._m:
                 raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
@@ -124,6 +154,34 @@ class Endpoint:
                     "lam": res.eq_lam, "rho": res.eq_rho, "x": np.asarray(res.x),
                 }
             return res
+        if self.mesh is not None:
+            import jax
+
+            from dataclasses import replace as dc_replace
+
+            from .parallel.sharding import solve_sharded
+
+            b = np.asarray(b, dtype=np.dtype(jnp.dtype(self.dtype).name))
+            single = b.ndim == 1
+            if single:
+                b = b[None, :]
+            if b.shape[-1] != self._m:
+                raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
+            if self._row_perm is not None:
+                b = b[..., self._row_perm]
+            dp, part = self._sharded
+            if dp.b.shape[-1] != b.shape[-1]:  # row padding from sharding
+                pad = dp.b.shape[-1] - b.shape[-1]
+                b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)],
+                                   axis=1)
+            dp_b = dc_replace(dp, b=jax.device_put(
+                jnp.asarray(b, self.dtype), self._b_sharding))
+            return solve_sharded(
+                (dp_b, part, single), self.mesh, method=self.method,
+                line_search=self.line_search, tol=tol, max_iter=max_iter,
+                chunk=self.chunk, dtype=self.dtype, x0=x0,
+                lipschitz=self._lip, **kw,
+            )
         dp = self._with_b(b)
         return solve(
             dp, method=self.method, line_search=self.line_search,

@@ -1,5 +1,6 @@
 """Serving endpoint: fixed A, streaming right-hand sides."""
 import numpy as np
+import pytest
 
 import bsls_tpu as bsls
 from bsls_tpu.models import oracle_solve, synthetic
@@ -68,6 +69,39 @@ def test_batch_queue_coalesces_and_matches_individual():
         np.testing.assert_allclose(float(r.objective), float(solo.objective),
                                    rtol=1e-5, atol=1e-8)
         assert r.x.shape == (prob.partition.n_flat,)
+
+
+def test_endpoint_mesh_backed_serving():
+    """Pod-sharded serving: A is sharded/uploaded once at Endpoint init;
+    streaming requests device_put only b and reuse the cached executable.
+    Results must match the unsharded endpoint."""
+    import jax
+
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    ep_mesh = Endpoint(prob, method="pgd", chunk=100, mesh=mesh)
+    ep_ref = Endpoint(prob, method="pgd", chunk=100)
+    rng = np.random.default_rng(0)
+    b0 = np.asarray(prob.b)
+    for k in range(2):  # second request exercises the warm path
+        b = b0 * (1.0 + 0.01 * k)
+        r_m = ep_mesh.solve(b, tol=1e-7, max_iter=400)
+        r_r = ep_ref.solve(b, tol=1e-7, max_iter=400)
+        np.testing.assert_allclose(float(np.asarray(r_m.objective)),
+                                   float(np.asarray(r_r.objective)),
+                                   rtol=5e-3, atol=1e-7)  # reduction-order noise near f*~1e-5
+    # batched request on the same endpoint
+    B = np.stack([b0, b0 * 1.01])
+    r_b = ep_mesh.solve(B, tol=1e-7, max_iter=400)
+    assert np.asarray(r_b.objective).shape == (2,)
+    # eq instances reject mesh-backed serving loudly
+    eq = synthetic.traffic_like(seed=1, num_blocks=12, m=40, num_eq=4,
+                                noise=1e-3)
+    with pytest.raises(NotImplementedError):
+        Endpoint(eq, mesh=mesh)
 
 
 def test_endpoint_eq_operator_cache(monkeypatch):
