@@ -1,3 +1,4 @@
 from .cli import script_main
 
-script_main()
+if __name__ == "__main__":
+    script_main()

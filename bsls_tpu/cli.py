@@ -62,8 +62,12 @@ def main(argv=None):
             os.environ["JAX_PLATFORMS"] = args.platform
     import jax
 
-    if args.platform in ("cpu", "cpu8"):
-        jax.config.update("jax_platforms", "cpu")
+    if args.platform:
+        # jax may already be imported (package __init__) with the env var
+        # captured — config.update applies post-import for EVERY platform,
+        # not just cpu (a bare env set would silently no-op here)
+        jax.config.update("jax_platforms",
+                          "cpu" if args.platform == "cpu8" else args.platform)
     if args.debug:
         jax.config.update("jax_debug_nans", True)
 
@@ -137,12 +141,11 @@ def main(argv=None):
                 unroll=cfg.unroll,
                 step_size=cfg.step_size,
                 mesh=mesh,
-                # pass the writer only when the user asked for metrics (the
-                # eq path rejects one loudly; a disabled default must not
-                # trip that) — explicitly-set options still flow through so
-                # unsupported combinations error instead of silently dropping
-                metrics=(mw if mesh is None and prob.C is None
-                         and cfg.metrics_path else None),
+                # pass the writer only when the user asked for metrics (a
+                # disabled default writer must not trip the eq path's
+                # unsupported-option rejection) — an EXPLICIT --metrics on an
+                # eq instance flows through and errors loudly
+                metrics=(mw if mesh is None and cfg.metrics_path else None),
                 checkpoint_path=cfg.checkpoint_path if mesh is None else None,
                 checkpoint_every=cfg.checkpoint_every or 0,
                 resume=bool(cfg.resume),

@@ -170,7 +170,8 @@ def state_specs(state, rows: bool = False, grid: bool = False):
 # ---------------- problem sharding ----------------
 
 
-def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
+def shard_problem(problem: Problem, mesh, dtype=jnp.float32,
+                  equilibrate: bool = True):
     """Prepare + device_put a Problem onto the mesh.
 
     Rebuilds the partition so every bucket's rows divide the block axis and
@@ -191,7 +192,8 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32):
     if b.shape[0] % ns:
         raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
     problem = replace(problem, b=b)
-    dp = L.prepare(problem, dtype=dtype, n_shards=nb, col_axis=BLOCK_AXIS)
+    dp = L.prepare(problem, dtype=dtype, n_shards=nb, col_axis=BLOCK_AXIS,
+                   equilibrate=equilibrate)
     specs = dp_specs(dp)
     dp = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs

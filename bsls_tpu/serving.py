@@ -64,12 +64,13 @@ class Endpoint:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            dp, part = shard_problem(problem, mesh, dtype=dtype)
+            dp, part = shard_problem(problem, mesh, dtype=dtype,
+                                     equilibrate=equilibrate)
             self._sharded = (dp, part)
             self._b_sharding = NamedSharding(mesh, P("scenario", None))
-            self._row_perm = (
-                None if dp.row_perm is None else np.asarray(dp.row_perm)
-            )
+            # the sharded prepare never row-buckets/pads (col_axis forces
+            # row_bucket off), so requests use b verbatim
+            assert dp.row_perm is None
             self._m = problem.A.shape[0]
             # ||A||^2 depends only on A: one on-mesh power iteration at init
             from .parallel.sharding import dp_specs
@@ -167,13 +168,13 @@ class Endpoint:
                 b = b[None, :]
             if b.shape[-1] != self._m:
                 raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
-            if self._row_perm is not None:
-                b = b[..., self._row_perm]
+            ns = dict(self.mesh.shape).get("scenario", 1)
+            if b.shape[0] % ns:
+                raise ValueError(
+                    f"batch width {b.shape[0]} not divisible by the mesh's "
+                    f"scenario axis ({ns}); pad the batch or use scenario=1"
+                )
             dp, part = self._sharded
-            if dp.b.shape[-1] != b.shape[-1]:  # row padding from sharding
-                pad = dp.b.shape[-1] - b.shape[-1]
-                b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)],
-                                   axis=1)
             dp_b = dc_replace(dp, b=jax.device_put(
                 jnp.asarray(b, self.dtype), self._b_sharding))
             return solve_sharded(
