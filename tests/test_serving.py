@@ -104,6 +104,31 @@ def test_endpoint_mesh_backed_serving():
         Endpoint(eq, mesh=mesh)
 
 
+def test_batch_queue_over_mesh_endpoint():
+    """Micro-batching composes with pod-sharded serving: concurrent
+    requests coalesce onto the scenario axis of a mesh-backed endpoint."""
+    import jax
+
+    from bsls_tpu.parallel import make_mesh
+    from bsls_tpu.serving import BatchQueue
+
+    prob = synthetic.tiny_dense(seed=0, num_blocks=32, dim=4, m=128)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    ep = Endpoint(prob, method="pgd", chunk=100, mesh=mesh)
+    q = BatchQueue(ep, max_batch=8, max_wait_ms=200, tol=0.0, max_iter=200)
+    rng = np.random.default_rng(0)
+    bs = [np.asarray(prob.b) + 0.01 * rng.standard_normal(prob.A.shape[0])
+          for _ in range(3)]
+    futs = [q.submit(b) for b in bs]
+    results = [f.result(timeout=300) for f in futs]
+    q.close()
+    for b, r in zip(bs, results):
+        solo = ep.solve(b, tol=0.0, max_iter=200)
+        np.testing.assert_allclose(float(r.objective),
+                                   float(np.asarray(solo.objective)),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_endpoint_eq_operator_cache(monkeypatch):
     """Streaming eq-constrained requests share ONE prepared stacked
     operator: the second request must not re-run L.prepare (host
