@@ -103,7 +103,7 @@ def _enable_compile_cache():
         pass
 
 
-def main():
+def _child_main():
     _enable_compile_cache()
     prob = get_problem()
     c = c_baseline(prob)
@@ -125,6 +125,53 @@ def main():
         f"c_objective={c['objective']:.6e}",
         file=sys.stderr,
     )
+
+
+# Resilience wrapper (VERDICT r2 weak #8): the round-2 BENCH failed rc=1 on a
+# single backend-init failure, zeroing the round's driver evidence.  The
+# measurement therefore runs in a child process with a hang timeout and
+# bounded retries — a transient tunnel outage or init hang costs a retry,
+# not the round.  A persistent outage still fails (rc=1) after ATTEMPTS.
+ATTEMPTS = 3
+ATTEMPT_TIMEOUT_S = float(os.environ.get("BSLS_BENCH_TIMEOUT", "900"))
+BACKOFF_S = 30.0
+
+
+def main():
+    if os.environ.get("_BSLS_BENCH_CHILD") == "1":
+        _child_main()
+        return
+    import subprocess
+
+    env = dict(os.environ, _BSLS_BENCH_CHILD="1")
+    last_err = "no attempt ran"
+    for attempt in range(1, ATTEMPTS + 1):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=ATTEMPT_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: timed out after {ATTEMPT_TIMEOUT_S:.0f}s"
+            print(f"# {last_err}", file=sys.stderr)
+        else:
+            sys.stderr.write(res.stderr)
+            line = next(
+                (ln for ln in res.stdout.splitlines() if ln.startswith("{")), None
+            )
+            if res.returncode == 0 and line:
+                print(line)
+                return
+            last_err = (
+                f"attempt {attempt}: rc={res.returncode}, "
+                f"stdout tail: {res.stdout[-400:]!r}"
+            )
+            print(f"# {last_err}", file=sys.stderr)
+        if attempt < ATTEMPTS:
+            time.sleep(BACKOFF_S * attempt)
+    print(f"# bench failed after {ATTEMPTS} attempts: {last_err}", file=sys.stderr)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

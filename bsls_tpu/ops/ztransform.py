@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["zmask", "x_to_z_padded", "z_to_x_padded", "dz_adjoint_padded"]
+__all__ = [
+    "zmask", "x_to_z_padded", "z_to_x_padded", "dz_adjoint_padded",
+    "dz_forward_padded",
+]
 
 
 def zmask(mask: jnp.ndarray) -> jnp.ndarray:
@@ -55,3 +58,14 @@ def dz_adjoint_padded(g: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     zm = zmask(mask)
     g_next = jnp.concatenate([g[..., 1:], jnp.zeros_like(g[..., :1])], axis=-1)
     return jnp.where(zm > 0, g - g_next, 0.0)
+
+
+def dz_forward_padded(dz: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Linear part of z->x: (D dz)_j = dz_j - dz_{j-1} on valid z slots; the
+    last valid x slot (which has no z of its own) gets -dz_{n-2}.  True
+    adjoint of ``dz_adjoint_padded`` (tested in tests/test_ops.py)."""
+    zm = zmask(mask)
+    dzc = jnp.where(zm > 0, dz, 0.0)
+    prev = jnp.concatenate([jnp.zeros_like(dzc[..., :1]), dzc[..., :-1]], axis=-1)
+    dx = jnp.where(zm > 0, dzc - prev, -prev)
+    return jnp.where(mask > 0, dx, 0.0)

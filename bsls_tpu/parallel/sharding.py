@@ -415,6 +415,7 @@ def solve_sharded(
     residual is row-local, A^T r and r-space inner products psum."""
     from ..solvers.base import (
         SolveOptions, SolveResult, StopTracker, _get_solver, power_lipschitz,
+        power_lipschitz_z, uses_zspace,
     )
 
     if isinstance(problem, Problem) and problem.C is not None:
@@ -466,8 +467,14 @@ def solve_sharded(
     if lipschitz is not None:
         L_est = jnp.asarray(lipschitz, dp.b.dtype)
     else:
+        # line_search="pava" builds the trial point in z-space and needs the
+        # z-curvature ||A D||^2 (solve_sharded is space="x"-only otherwise)
+        power = (
+            power_lipschitz_z if uses_zspace(method, line_search)
+            else power_lipschitz
+        )
         lips = jax.jit(
-            jax.shard_map(power_lipschitz, mesh=mesh, in_specs=(dspecs,), out_specs=P())
+            jax.shard_map(power, mesh=mesh, in_specs=(dspecs,), out_specs=P())
         )
         L_est = lips(dp)
 

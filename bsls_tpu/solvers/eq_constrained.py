@@ -135,7 +135,12 @@ def solve_equality_constrained(
     # and dtype, not just the batch shape: a caller-shared dict across
     # different instances must never silently reuse the wrong prepared
     # operator
-    key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)), np.shape(b))
+    # ...and on the trial-step space: z-space inners (line_search="pava" /
+    # space="z") cache the z-curvature ||.D||^2 bounds, not the x-space ones
+    from .base import uses_zspace as _uz
+
+    key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)), np.shape(b),
+           _uz(method, line_search))
     dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
     for outer in range(outer_iters):
         sr = np.sqrt(rho)
@@ -159,8 +164,13 @@ def solve_equality_constrained(
         else:
             from dataclasses import replace as dc_replace
 
-            from .base import power_lipschitz
+            from .base import power_lipschitz, power_lipschitz_z, uses_zspace
 
+            # z-space inners need the z-curvature; the analytic bound
+            # L(rho) <= L_base + (rho - rho_base) * LC holds in either space
+            # since D^T (A^T A + rho C^T C) D splits the same way
+            if uses_zspace(method, line_search):
+                power_lipschitz = power_lipschitz_z
             if dp_cache is None:
                 stacked = Problem(
                     A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),

@@ -24,6 +24,18 @@ def test_config_presets_and_overrides():
     assert set(PRESETS) >= {"tiny", "medium-pgd", "medium-eg", "traffic", "large"}
 
 
+def test_on_disk_config_presets_match_in_code():
+    """configs/*.json (SURVEY §7 API sketch) mirror utils.config.PRESETS."""
+    import dataclasses
+
+    cfg_dir = os.path.join(REPO, "configs")
+    files = {f[:-5] for f in os.listdir(cfg_dir) if f.endswith(".json")}
+    assert files == set(PRESETS), (files, set(PRESETS))
+    for name in PRESETS:
+        cfg = load_config(os.path.join(cfg_dir, name + ".json"))
+        assert dataclasses.asdict(cfg) == dataclasses.asdict(PRESETS[name]), name
+
+
 def test_metrics_writer(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsWriter(path) as mw:
