@@ -55,6 +55,12 @@ class EllMatrix:
     with the block sharding of x: A @ x is a per-column scale + segment-sum
     into the m rows (local, then psum over the block axis), and A^T r is a
     pure gather — both TPU-friendly (SURVEY.md §7 hard part 2).
+
+    INVARIANT: no duplicate (row, col) coordinates.  Linear consumers
+    (matvec/rmatvec) tolerate duplicates, but diag(A^T A) squares per-slot
+    values and silently mis-sizes pairwise-FW transfers when an entry is
+    split across slots.  All entry surfaces enforce it (generators and
+    ``from_scipy`` coalesce); call ``coalesce()`` on hand-built inputs.
     """
 
     rows: np.ndarray  # (n, k) int32
@@ -73,6 +79,39 @@ class EllMatrix:
     def nnz(self) -> int:
         return int(np.count_nonzero(self.vals))
 
+    def coalesce(self) -> "EllMatrix":
+        """Merge duplicate (row, col) coordinates (vals sum) and compact
+        columns, shrinking k to the post-merge max nnz.
+
+        Duplicate coordinates are an EllMatrix INVARIANT VIOLATION for any
+        consumer that is nonlinear in the stored values — diag(A^T A)
+        (pairwise-FW curvature sizing) squares per-slot values, and
+        (a+a)^2 != a^2 + a^2.  The linear matvec/rmatvec paths tolerate
+        duplicates, which is exactly why this bug class is silent: solves
+        stay feasible and descend, just with wrong Newton sizing.  All
+        data-entry surfaces (synthetic generators that sample with
+        replacement, from_scipy) coalesce; call this on hand-built inputs.
+        Vectorised over columns (one argsort + one k-loop), no Python
+        per-column loop.
+        """
+        order = np.argsort(self.rows, axis=1, kind="stable")
+        r = np.take_along_axis(self.rows, order, 1)
+        v = np.take_along_axis(self.vals, order, 1)
+        k = r.shape[1]
+        # right-to-left: fold each duplicate's value into its run head
+        # (padding slots are val==0, so merging them is a no-op)
+        for j in range(k - 1, 0, -1):
+            dup = r[:, j] == r[:, j - 1]
+            v[:, j - 1] += np.where(dup, v[:, j], 0)
+            v[:, j] = np.where(dup, 0, v[:, j])
+        # compact nonzeros left (stable), then trim all-padding tail slots
+        keep = np.argsort(v == 0, axis=1, kind="stable")
+        r = np.take_along_axis(r, keep, 1)
+        v = np.take_along_axis(v, keep, 1)
+        k_new = max(int(np.count_nonzero(v, axis=1).max()) if r.size else 1, 1)
+        r = np.where(v[:, :k_new] != 0, r[:, :k_new], 0).astype(np.int32)
+        return EllMatrix(rows=r, vals=v[:, :k_new], num_rows=self.num_rows)
+
     @staticmethod
     def from_scipy(A) -> "EllMatrix":
         # vectorised (no per-column Python loop): the .mat ingestion path
@@ -80,6 +119,7 @@ class EllMatrix:
         import scipy.sparse as sp
 
         A = sp.csc_matrix(A)
+        A.sum_duplicates()  # the coalesced-coordinates invariant (coalesce())
         m, n = A.shape
         counts = np.diff(A.indptr)
         k = max(int(counts.max()) if n else 1, 1)

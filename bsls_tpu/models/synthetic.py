@@ -60,8 +60,10 @@ def _route_incidence(rng: np.random.Generator, sizes: np.ndarray, m: int,
 
     Column j (a route) touches ``L_j`` random links with value = the OD
     demand of its block (demand-scaled incidence, as in route-flow
-    estimation where x holds route *fractions* per OD).  Link indices may
-    rarely repeat within a route (harmless for synthetic benchmarks).
+    estimation where x holds route *fractions* per OD).  Repeated link
+    draws within a route are coalesced (entry = summed demand) so the
+    stored ELL satisfies the no-duplicate-coordinates invariant that
+    diag(A^T A) consumers rely on — A as an operator is unchanged.
     Returns (EllMatrix, demands_per_block).
     """
     n = int(np.sum(sizes))
@@ -73,7 +75,7 @@ def _route_incidence(rng: np.random.Generator, sizes: np.ndarray, m: int,
     active = np.arange(k)[None, :] < lens[:, None]
     rows = np.where(active, rng.integers(0, m, size=(n, k)), 0).astype(np.int32)
     vals = np.where(active, col_demand[:, None], 0.0)
-    return EllMatrix(rows=rows, vals=vals, num_rows=m), demands
+    return EllMatrix(rows=rows, vals=vals, num_rows=m).coalesce(), demands
 
 
 def medium_sparse(seed: int = 0, num_blocks: int = 10_000, dim_lo: int = 3,
@@ -111,7 +113,7 @@ def medium_banded(seed: int = 0, num_blocks: int = 10_000, dim_lo: int = 3,
     rows = np.clip(centers[:, None] + offs, 0, m - 1).astype(np.int32)
     rows = np.where(active, rows, 0)
     vals = np.where(active, col_demand[:, None], 0.0)
-    A = EllMatrix(rows=rows, vals=vals, num_rows=m)
+    A = EllMatrix(rows=rows, vals=vals, num_rows=m).coalesce()
     x_true = random_block_x(rng, sizes)
     b = A.matvec(x_true) + noise * rng.standard_normal(m)
     return Problem(A=A, b=b, partition=BlockPartition.from_sizes(sizes),
@@ -157,7 +159,7 @@ def large_sharded(seed: int = 0, num_blocks: int = 1_000_000, dim: int = 8,
     rows = rng.integers(0, m, size=(n, k)).astype(np.int32)
     demands = rng.uniform(1.0, 100.0, size=num_blocks)
     vals = np.repeat(demands, dim)[:, None] * np.ones((1, k))
-    A = EllMatrix(rows=rows, vals=vals, num_rows=m)
+    A = EllMatrix(rows=rows, vals=vals, num_rows=m).coalesce()
     # one planted flow per scenario (vectorised Dirichlet per block)
     g = rng.gamma(0.3, size=(num_scenarios, num_blocks, dim)) + 1e-12
     xs = g / g.sum(axis=-1, keepdims=True)

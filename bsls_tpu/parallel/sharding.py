@@ -421,21 +421,17 @@ def solve_sharded(
     if isinstance(problem, Problem) and problem.C is not None:
         from ..solvers.eq_constrained import solve_equality_constrained
 
-        unsupported = {
-            "shard_rows": shard_rows, "x0": x0 is not None,
-            "checkpoint_path": checkpoint_path is not None, "resume": resume,
-            "metrics": metrics is not None,
-        }
-        bad = [k for k, v in unsupported.items() if v]
-        if bad:
+        if shard_rows:
             raise NotImplementedError(
-                f"sharded equality-constrained solve does not support {bad}; "
-                "run the AL loop manually (solvers.eq_constrained) or drop them"
+                "sharded equality-constrained solves column-shard the stacked "
+                "[A; sqrt(rho) C] operator; row sharding is not supported"
             )
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
-            unroll=unroll, lbfgs_mem=lbfgs_mem,
+            unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, metrics=metrics,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep, resume=resume,
         )
 
     grid = dict(mesh.shape).get(ROW_AXIS, 1) > 1

@@ -52,10 +52,18 @@ class Endpoint:
         self._problem = problem
         self._eq = problem.C is not None
         if mesh is not None and self._eq:
-            raise NotImplementedError(
-                "mesh-backed serving supports unconstrained instances; run "
-                "eq-constrained sharded solves via solve_equality_constrained"
-            )
+            # eq-constrained pod serving: the AL loop's op_cache holds the
+            # SHARDED stacked [A; sqrt(rho) C] operator after the first
+            # request (one shard/upload + two on-mesh power iterations);
+            # streaming requests re-upload only the stacked RHS.  Warm
+            # multipliers come from the _eq_warm cache like the single-chip
+            # path.
+            self._eq_warm = {}
+            self._eq_ops = {}
+            self._dp = None
+            self._row_perm = None
+            self._m = problem.A.shape[0]
+            return
         if mesh is not None:
             # pod-sharded serving: shard/upload A once, stream only b —
             # per-request work is one small device_put + a cached executable
@@ -148,7 +156,7 @@ class Endpoint:
             res = solve_equality_constrained(
                 prob, method=self.method, tol=tol, max_iter=max_iter,
                 chunk=self.chunk, line_search=self.line_search,
-                dtype=self.dtype, op_cache=self._eq_ops, **kw,
+                dtype=self.dtype, op_cache=self._eq_ops, mesh=self.mesh, **kw,
             )
             if self.warm_start and res.converged:
                 self._eq_warm[b.shape[:-1]] = {

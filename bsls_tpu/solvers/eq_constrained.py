@@ -67,6 +67,11 @@ def solve_equality_constrained(
     x0=None,
     op_cache: Optional[dict] = None,
     lbfgs_mem: int = 8,
+    metrics=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    checkpoint_keep: int = 0,
+    resume: bool = False,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
@@ -83,7 +88,17 @@ def solve_equality_constrained(
     stacked operator and its Lipschitz constants ACROSS calls — for
     streaming requests against one instance (serving.Endpoint) only the
     RHS changes, so repeat requests skip the host re-encode/upload and the
-    on-device power iterations entirely."""
+    on-device power iterations entirely.  With ``mesh`` the cache holds the
+    SHARDED stacked operator: outer iterations (and streaming requests)
+    re-upload only the stacked RHS and swap the traced penalty scale.
+
+    ``checkpoint_path``/``checkpoint_every``/``resume`` checkpoint at OUTER
+    granularity (checkpoint_every counts outer iterations): the AL state
+    (lam, x, rho, outer index) is small and host-side, so one atomic .npz
+    per process covers single- and multi-host runs alike; resume replays
+    the multipliers and warm-starts the next outer.  ``metrics`` receives
+    one "outer" record per outer iteration (violation, rho, objective) on
+    top of the inner solves' per-chunk records."""
     from .base import solve
 
     if problem.C is None:
@@ -118,6 +133,24 @@ def solve_equality_constrained(
     viol = np.inf
     total_iters = 0
     ok_streak = 0
+    start_outer = 0
+    if resume and checkpoint_path:
+        from ..utils.checkpoint import latest_checkpoint, load_state
+
+        ck = latest_checkpoint(checkpoint_path)
+        if ck:
+            like = {"lam": np.asarray(lam, np.float64),
+                    "x": np.zeros((S, problem.A.shape[1]) if multi
+                                  else problem.A.shape[1], np.float64)}
+            state, meta = load_state(ck, like)
+            lam = np.asarray(state["lam"], np.float64)
+            x0 = np.asarray(state["x"])
+            rho = float(meta.get("rho", rho))
+            viol = float(meta.get("viol", viol))
+            total_iters = int(meta.get("total_iters", 0))
+            start_outer = int(meta.get("iteration", 0))
+            # a checkpoint at the outer budget still gets one settling outer
+            outer_iters = max(outer_iters, start_outer + 1)
     # single-device fast path: prepare the stacked operator ONCE and swap
     # only the leaves that change between outers — the penalty scale
     # (DeviceVStack.bottom_scale is a traced leaf precisely for this) and
@@ -141,25 +174,66 @@ def solve_equality_constrained(
 
     key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)), np.shape(b),
            _uz(method, line_search))
+    if mesh is not None:
+        key = key + ("mesh", id(mesh))
     dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
-    for outer in range(outer_iters):
+    for outer in range(start_outer, outer_iters):
         sr = np.sqrt(rho)
         b_bot = sr * (d - lam / rho)  # (p,) or (S, p)
         b_stacked = np.concatenate([b, b_bot], axis=-1)
         x_prev = x0 if result is None else np.asarray(result.x)
         if mesh is not None:
-            from ..parallel.sharding import solve_sharded
+            # sharded stacked operator, prepared/uploaded ONCE (mirrors the
+            # single-device dp_cache path): outers and streaming requests
+            # swap only the traced penalty scale and re-upload the stacked
+            # RHS; the Lipschitz bound updates analytically from one on-mesh
+            # power-iteration pair at first build
+            import jax
+            from dataclasses import replace as dc_replace
 
-            stacked = Problem(
-                A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
-                b=b_stacked,
-                partition=problem.partition,
-                name=problem.name + "+eq",
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.sharding import dp_specs, solve_sharded
+            from .base import power_lipschitz, power_lipschitz_z, uses_zspace
+
+            power = (power_lipschitz_z if uses_zspace(method, line_search)
+                     else power_lipschitz)
+            if dp_cache is None:
+                from ..parallel.sharding import shard_problem
+
+                stacked = Problem(
+                    A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
+                    b=b_stacked,
+                    partition=problem.partition,
+                    name=problem.name + "+eq",
+                )
+                dp_sh, part_sh = shard_problem(stacked, mesh, dtype=dtype)
+                rho_base = rho
+
+                def _mesh_power(d):
+                    fn = jax.jit(jax.shard_map(
+                        power, mesh=mesh, in_specs=(dp_specs(d),), out_specs=P()))
+                    return float(fn(d))
+
+                L_base = _mesh_power(dp_sh)
+                # lam_max of the bottom (C^T C) part alone, unit scale
+                LC = _mesh_power(dc_replace(dp_sh, A=dp_sh.A.bottom))
+                dp_cache = (dp_sh, part_sh, dp_sh.b.sharding)
+                op_cache[key] = (dp_cache, rho_base, L_base, LC)
+            dp_sh, part_sh, b_shard = dp_cache
+            b_up = b_stacked if multi else b_stacked[None, :]
+            dp = dc_replace(
+                dp_sh,
+                A=dc_replace(dp_sh.A,
+                             bottom_scale=jnp.asarray(sr, dp_sh.b.dtype)),
+                b=jax.device_put(jnp.asarray(b_up, dp_sh.b.dtype), b_shard),
             )
             result = solve_sharded(
-                stacked, mesh, method=method, tol=tol, max_iter=inner_iters,
-                chunk=chunk, line_search=line_search, step_size=step_size,
-                dtype=dtype, x0=x_prev, unroll=unroll, lbfgs_mem=lbfgs_mem,
+                (dp, part_sh, not multi), mesh, method=method, tol=tol,
+                max_iter=inner_iters, chunk=chunk, line_search=line_search,
+                step_size=step_size, dtype=dtype, x0=x_prev, unroll=unroll,
+                lbfgs_mem=lbfgs_mem, metrics=metrics,
+                lipschitz=L_base + max(0.0, rho - rho_base) * LC,
             )
         else:
             from dataclasses import replace as dc_replace
@@ -206,7 +280,7 @@ def solve_equality_constrained(
                 dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
                 line_search=line_search, step_size=step_size, dtype=dtype,
                 x0=x_prev,  # warm-start from the previous outer iterate
-                unroll=unroll, lbfgs_mem=lbfgs_mem,
+                unroll=unroll, lbfgs_mem=lbfgs_mem, metrics=metrics,
                 lipschitz=L_base + max(0.0, rho - rho_base) * LC,
             )
         total_iters += result.iterations
@@ -219,6 +293,20 @@ def solve_equality_constrained(
         if new_viol > 0.25 * viol and new_viol > eq_tol:
             rho *= rho_growth
         viol = new_viol
+        if metrics is not None:
+            metrics.log("outer", outer=outer + 1, viol=viol, rho=rho,
+                        inner_iters=int(result.iterations),
+                        f=np.asarray(problem.objective_np(x)).tolist())
+        if checkpoint_path and checkpoint_every and (outer + 1) % checkpoint_every == 0:
+            from ..utils.checkpoint import save_state
+
+            save_state(
+                checkpoint_path,
+                {"lam": np.asarray(lam, np.float64), "x": x},
+                meta={"iteration": outer + 1, "rho": rho, "viol": viol,
+                      "total_iters": total_iters},
+                keep=checkpoint_keep,
+            )
         # stop only after two consecutive outers with constraints holding and
         # the inner subproblem solved to optimality (the second pass lets the
         # multiplier update settle the objective)

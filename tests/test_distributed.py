@@ -19,6 +19,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# 2-OS-process Gloo tests dominate suite wall time -> milestone-only
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -73,6 +77,26 @@ mesh = make_mesh(block=8, scenario=1)
 res = solve_equality_constrained(prob, method="apgd", mesh=mesh, tol=1e-6,
                                  max_iter=2000, chunk=100)
 print("RESULT", float(np.asarray(res.objective).max()), res.eq_violation, flush=True)
+"""
+
+_WORKER_EQ_CKPT = _BOOT + """
+ckpt, phase = sys.argv[4], sys.argv[5]
+from bsls_tpu.parallel import make_mesh
+from bsls_tpu.models import synthetic
+from bsls_tpu.solvers.eq_constrained import solve_equality_constrained
+
+prob = synthetic.traffic_like(seed=4, num_blocks=32, m=64, num_eq=4, noise=0.0)
+mesh = make_mesh(block=8, scenario=1)
+if phase == "first":
+    res = solve_equality_constrained(
+        prob, method="apgd", mesh=mesh, tol=1e-6, outer_iters=2,
+        inner_iters=400, chunk=100, checkpoint_path=ckpt, checkpoint_every=1)
+else:
+    res = solve_equality_constrained(
+        prob, method="apgd", mesh=mesh, tol=1e-6, outer_iters=12,
+        inner_iters=2000, chunk=100, checkpoint_path=ckpt, resume=True)
+print("RESULT", float(np.asarray(res.objective).max()), res.eq_violation,
+      flush=True)
 """
 
 _WORKER_LAYOUTS = _BOOT + """
@@ -180,6 +204,21 @@ def test_two_process_equality_constrained():
     violation check, re-injected warm start) — all of it must survive a
     mesh that spans processes."""
     vals = _run_pair(_WORKER_EQ)
+    assert vals[0] == vals[1], vals
+    assert float(vals[0][1]) <= 1e-4  # eq violation
+    assert float(vals[0][0]) <= 1e-6  # noiseless planted x => f* ~ 0
+
+
+def test_two_process_eq_checkpoint_resume(tmp_path):
+    """AL-level checkpoint/resume across a 2-process mesh (round-3 VERDICT
+    #4): a run truncated at 2 outers checkpoints (lam, x, rho); a fresh
+    2-process job resumes the multipliers and converges."""
+    import glob as _glob
+
+    ckpt = str(tmp_path / "eq_ck.npz")
+    _run_pair(_WORKER_EQ_CKPT, [ckpt, "first"])
+    assert _glob.glob(str(tmp_path / "eq_ck*.npz"))
+    vals = _run_pair(_WORKER_EQ_CKPT, [ckpt, "resume"])
     assert vals[0] == vals[1], vals
     assert float(vals[0][1]) <= 1e-4  # eq violation
     assert float(vals[0][0]) <= 1e-6  # noiseless planted x => f* ~ 0

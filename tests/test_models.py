@@ -49,6 +49,33 @@ def test_ell_matrix_matches_scipy():
     assert np.allclose(E.to_scipy().toarray(), A.toarray())
 
 
+def test_ell_coalesce_merges_duplicates():
+    """Duplicate (row, col) slots merge (vals sum), operator unchanged, and
+    diag(A^T A) becomes exact — the silent pairwise-FW sizing bug the
+    strengthened dryrun parity gate caught (round 3)."""
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, 20, size=(15, 6)).astype(np.int32)  # dups ~certain
+    vals = np.where(rng.random((15, 6)) < 0.8, rng.uniform(0.5, 2, (15, 6)), 0.0)
+    rows = np.where(vals != 0, rows, 0)
+    E = EllMatrix(rows=rows, vals=vals, num_rows=20)
+    Ec = E.coalesce()
+    # operator identical
+    x = rng.standard_normal(15)
+    r = rng.standard_normal(20)
+    assert np.allclose(Ec.matvec(x), E.matvec(x))
+    assert np.allclose(Ec.rmatvec(r), E.rmatvec(r))
+    # no duplicate coordinates among nonzero slots
+    for j in range(15):
+        nz = Ec.rows[j][Ec.vals[j] != 0]
+        assert len(set(nz.tolist())) == len(nz)
+    # diag(A^T A) from the coalesced slots is exact
+    d = (Ec.vals**2).sum(axis=1)
+    dense = Ec.to_scipy().toarray()
+    assert np.allclose(d, (dense**2).sum(axis=0))
+    # idempotent, k shrinks to the post-merge max
+    assert Ec.coalesce().k == Ec.k
+
+
 def test_problem_save_load_roundtrip(tmp_path):
     prob = synthetic.tiny_dense(seed=3, num_blocks=5, dim=4, m=12)
     path = str(tmp_path / "inst.npz")
@@ -113,6 +140,7 @@ def test_oracle_certifies_tiny():
     assert fw_gap_np(g, res.x, prob.partition.sizes) <= 1e-9
 
 
+@pytest.mark.slow
 def test_eq_oracle_certifies():
     """Float64 AL oracle for config-3-style instances: near-zero objective
     on a noiseless planted instance, tight Lagrangian dual bound, and
@@ -131,6 +159,7 @@ def test_eq_oracle_certifies():
     assert abs(rel) < 1e-5
 
 
+@pytest.mark.slow
 def test_eq_oracle_matches_scipy_slsqp():
     """Independent cross-check: on a tiny noisy instance the AL oracle's
     constrained optimum must match scipy SLSQP (a completely different

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from bsls_tpu.ops import isotonic, projection, ztransform as Z
 from bsls_tpu.utils import refimpl
 
+import pytest
+
 _SETTINGS = dict(max_examples=25, deadline=None, derandomize=True)
 
 # padded rows: width w in [1, 24], batch B in [1, 6], moderate magnitudes
@@ -32,6 +34,7 @@ def _mask(sizes, w):
 
 @given(_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_projection_properties(data):
     v, sizes = data
     B, w = v.shape
@@ -57,6 +60,7 @@ def test_projection_properties(data):
 
 @given(_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_projection_nonexpansive(data):
     v, sizes = data
     B, w = v.shape
@@ -76,6 +80,7 @@ def test_projection_nonexpansive(data):
 
 @given(_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pava_matches_reference(data):
     y, sizes = data
     B, w = y.shape

@@ -22,6 +22,7 @@ def test_endpoint_streaming_rhs():
         assert rel <= 1e-5, (trial, rel)
 
 
+@pytest.mark.slow
 def test_endpoint_batch_and_warm_start():
     prob = synthetic.medium_sparse(seed=2, num_blocks=60, m=400)  # sparse: row-bucketed layout
     ep = Endpoint(prob, method="pgd", chunk=100)
@@ -71,6 +72,7 @@ def test_batch_queue_coalesces_and_matches_individual():
         assert r.x.shape == (prob.partition.n_flat,)
 
 
+@pytest.mark.slow
 def test_endpoint_mesh_backed_serving():
     """Pod-sharded serving: A is sharded/uploaded once at Endpoint init;
     streaming requests device_put only b and reuse the cached executable.
@@ -97,11 +99,37 @@ def test_endpoint_mesh_backed_serving():
     B = np.stack([b0, b0 * 1.01])
     r_b = ep_mesh.solve(B, tol=1e-7, max_iter=400)
     assert np.asarray(r_b.objective).shape == (2,)
-    # eq instances reject mesh-backed serving loudly
-    eq = synthetic.traffic_like(seed=1, num_blocks=12, m=40, num_eq=4,
-                                noise=1e-3)
-    with pytest.raises(NotImplementedError):
-        Endpoint(eq, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_endpoint_mesh_backed_eq_serving():
+    """Eq-constrained pod serving: the sharded stacked [A; sqrt(rho) C]
+    operator is cached after the first request (one shard/upload + two
+    on-mesh power iterations); streaming requests re-upload only the
+    stacked RHS and warm-start the multipliers.  Objectives must match the
+    unsharded eq endpoint."""
+    import jax
+
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.traffic_like(seed=3, num_blocks=48, m=200, num_eq=8,
+                                  noise=1e-3)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    ep_mesh = Endpoint(prob, method="apgd", chunk=100, mesh=mesh)
+    ep_ref = Endpoint(prob, method="apgd", chunk=100)
+    b0 = np.asarray(prob.b)
+    for k in range(2):  # second request: cached sharded op + warm lam
+        b = b0 * (1.0 + 0.05 * k)
+        r_m = ep_mesh.solve(b, tol=1e-7, max_iter=3000)
+        r_r = ep_ref.solve(b, tol=1e-7, max_iter=3000)
+        assert r_m.eq_violation <= 1e-6
+        # atol: converged objectives sit at the fp32 noise floor (~1e-8)
+        np.testing.assert_allclose(float(np.asarray(r_m.objective)),
+                                   float(np.asarray(r_r.objective)),
+                                   rtol=1e-4, atol=1e-7)
+    # exactly one sharded stacked operator was built for the stream
+    assert len(ep_mesh._eq_ops) == 1
 
 
 def test_batch_queue_over_mesh_endpoint():
@@ -129,6 +157,7 @@ def test_batch_queue_over_mesh_endpoint():
                                    rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_endpoint_eq_operator_cache(monkeypatch):
     """Streaming eq-constrained requests share ONE prepared stacked
     operator: the second request must not re-run L.prepare (host

@@ -107,6 +107,7 @@ def test_row_sharded_apgd_both_axes(eight_devices):
     )
 
 
+@pytest.mark.slow
 def test_row_sharded_ell_matches_single_device(eight_devices):
     """SP/CP-analog for SPARSE A: per-shard dual-ELL re-encoding (local row
     ids on the column orientation, global PF cols on the row orientation)."""
@@ -123,6 +124,7 @@ def test_row_sharded_ell_matches_single_device(eight_devices):
     np.testing.assert_allclose(res8.x, res1.x, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_row_sharded_ell_padded_rows_multi_rhs(eight_devices):
     """ELL row sharding with m % 8 != 0 (zero-row padding) + scenario axis."""
     mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
@@ -162,6 +164,7 @@ def test_sharded_afw_matches_single_device(eight_devices):
     assert f8 <= f_ref * 1.5 + 1e-5, (f8, f_ref)
 
 
+@pytest.mark.slow
 def test_sharded_ragged_blocks(eight_devices):
     mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
     prob = synthetic.traffic_like(num_blocks=64, m=200, num_eq=0, noise=1e-3)
@@ -178,6 +181,7 @@ def test_sharded_ragged_blocks(eight_devices):
     np.testing.assert_allclose(f_from_x, float(np.asarray(res8.objective)), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_equality_constrained(eight_devices):
     """AL outer loop over mesh-sharded inner solves (stacked operator)."""
     mesh = make_mesh(block=4, scenario=1, devices=eight_devices[:4])
@@ -191,6 +195,41 @@ def test_sharded_equality_constrained(eight_devices):
                                rtol=0.5, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_sharded_eq_checkpoint_metrics_resume(eight_devices, tmp_path):
+    """Sharded eq solves carry checkpoint/metrics/resume (round-3 VERDICT
+    #4/#5): the AL loop checkpoints (lam, x, rho) at outer granularity,
+    logs one 'outer' record per outer, and a resumed run converges to the
+    same optimum."""
+    import json
+
+    from bsls_tpu.models.synthetic import with_scenarios
+    from bsls_tpu.utils.metrics import MetricsWriter
+
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = synthetic.traffic_like(seed=3, num_blocks=48, m=200, num_eq=8,
+                                  noise=1e-3)
+    p4 = with_scenarios(prob, 4, seed=9, noise=1e-3)
+    ck = str(tmp_path / "eq.npz")
+    mp = str(tmp_path / "m.jsonl")
+    with MetricsWriter(mp) as mw:
+        r_full = solve_sharded(p4, mesh, method="apgd", tol=1e-7,
+                               max_iter=3000, chunk=100, metrics=mw,
+                               checkpoint_path=ck, checkpoint_every=1)
+    recs = [json.loads(ln) for ln in open(mp)]
+    outers = [x for x in recs if x["kind"] == "outer"]
+    assert outers and all("viol" in x and "rho" in x for x in outers)
+    assert any(x["kind"] == "chunk" for x in recs)  # inner telemetry too
+    r_res = solve_sharded(p4, mesh, method="apgd", tol=1e-7, max_iter=3000,
+                          chunk=100, checkpoint_path=ck, resume=True)
+    assert r_res.eq_violation <= 1e-6
+    # atol: converged objectives sit at the fp32 noise floor (~1e-8)
+    np.testing.assert_allclose(np.asarray(r_res.objective),
+                               np.asarray(r_full.objective), rtol=1e-4,
+                               atol=1e-7)
+
+
+@pytest.mark.slow
 def test_2d_grid_sharded_ell(eight_devices):
     """Full 2-D sharded matvec (SURVEY §2b): (row=2, block=2, scenario=2)
     mesh; A@x psums over 'block', A^T r psums over 'row'."""

@@ -78,6 +78,7 @@ def test_eg_iterates_stay_positive_and_normalised(tiny):
         off += n
 
 
+@pytest.mark.slow
 def test_ragged_blocks_solve():
     prob = synthetic.traffic_like(num_blocks=60, m=300, num_eq=0, noise=1e-3)
     prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name="ragged")
@@ -153,6 +154,7 @@ def test_lbfgs_rejects_unsupported_options(tiny):
         bsls.solve(prob, method="lbfgs", step_size=0.5, max_iter=10)
 
 
+@pytest.mark.slow
 def test_lbfgs_mem_forwarded_everywhere(monkeypatch):
     """lbfgs_mem must reach the inner SolveOptions on all three dispatch
     paths (plain, mesh-sharded, equality-constrained) — it was silently
@@ -210,6 +212,7 @@ def test_lbfgs_monotone_and_fast(tiny):
     assert it_lb < it_pgd, (it_lb, it_pgd)
 
 
+@pytest.mark.slow
 def test_lbfgs_multi_rhs_oracle_parity():
     """Scenario-vmapped lbfgs: per-scenario solves match per-scenario
     single solves (the compact-form Gram machinery under vmap)."""
@@ -279,6 +282,7 @@ def test_lbfgs_tiny_memory_ring_buffer(tiny):
     assert _relgap(float(res.objective), orc.objective) <= 1e-6
 
 
+@pytest.mark.slow
 def test_equality_constrained_multi_rhs():
     """Per-scenario multipliers: (S, m) b against shared C with per-scenario
     targets d (S, p)."""
@@ -305,6 +309,7 @@ def test_time_to_gap_metric(tiny):
     assert t is not None and t >= 0.0
 
 
+@pytest.mark.slow
 def test_certify_polish_tightens_gap():
     """certify=K runs a pairwise-FW polish that tightens the duality-gap
     certificate by orders of magnitude at equal-or-better objective (on the

@@ -5,6 +5,8 @@ import bsls_tpu as bsls
 from bsls_tpu.models import oracle_solve
 from bsls_tpu.models.traffic import grid_network, grid_traffic, k_routes
 
+import pytest
+
 
 def test_grid_network_structure():
     n, edges, adj = grid_network(4, 5)
@@ -46,6 +48,7 @@ def test_grid_traffic_instance_valid():
     assert np.abs(r).max() < 0.1
 
 
+@pytest.mark.slow
 def test_grid_traffic_solves_to_oracle():
     prob = grid_traffic(seed=2, nx=8, ny=8, num_od=40, num_eq=0, noise=1e-3)
     prob2 = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition)
