@@ -43,6 +43,13 @@ def main(argv=None):
     p.add_argument("--oracle", action="store_true")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument(
+        "--methods", default=None,
+        help="comma list of method[/ls] pairs to run (default: the full "
+        "sweep); e.g. --methods pgd/pava,lbfgs — lets large instances run "
+        "one method per fresh process (in-process HBM accumulation breaks "
+        "later compiles at the 8M-var scale)",
+    )
     args = p.parse_args(argv)
 
     if args.platform:
@@ -69,8 +76,19 @@ def main(argv=None):
     if args.scenarios > 1:
         prob = with_scenarios(prob, args.scenarios)
 
+    sweep = SWEEP
+    if args.methods:
+        want = []
+        for item in args.methods.split(","):
+            m, _, l = item.strip().partition("/")
+            want.append((m, l or None))
+        sweep = [
+            (m, ls) for m, ls in SWEEP
+            if any(m == wm and (wl is None or ls == wl) for wm, wl in want)
+        ]
+
     rows = []
-    for method, ls in SWEEP:
+    for method, ls in sweep:
         try:
             res = bsls.solve(
                 prob, method=method, line_search=ls, tol=args.tol,

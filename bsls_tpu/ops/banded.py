@@ -56,7 +56,19 @@ class DeviceBanded:
     Group g's window covers logical row pages [g - back, g - back + wpages)
     — in the front-padded page coordinate system used by the matvecs, the
     window of group g always starts at padded page g, which is what keeps
-    every slice static."""
+    every slice static.
+
+    Block sharding (VERDICT r2 #5): with ``n_shards > 1`` the band tensors
+    shard along the GROUP axis (axis 0) over ``col_axis`` — in the
+    value-grouped layout groups are contiguous block ranges, so a group
+    shard is exactly a block shard, and shard d's matvec contribution is
+    the contiguous row window [d*gl - back, (d+1)*gl + wpages - back)
+    pages, placed by one dynamic_update_slice into the zero residual and
+    assembled by the SAME length-m psum the gather layout uses.  Inside
+    shard_map the local band has gl = pages/n_shards groups (< ``pages``,
+    which is how the matvecs detect the local view); a global (full-shape)
+    view evaluates as n_shards sequential shard computations against the
+    device-major PF vector."""
 
     bands: tuple  # tuple[(Mp, C_b, Wmax) f32]
     resid: Optional[object]  # DeviceEll or None
@@ -65,17 +77,26 @@ class DeviceBanded:
     back: int  # static: pages the window extends BEHIND the ladder page
     n_pf: int  # static
     seg_lens: tuple  # static: unpadded PF length per bucket segment
+    pages: int = 0  # static: GLOBAL (shard-padded) ladder page count; 0 =
+    # derive from bands[0].shape[0] (unsharded back-compat)
+    n_shards: int = 1  # static: block shards of the group axis
+    col_axis: Optional[str] = None  # static: mesh axis of the shards
 
 
 def _register():
     jax.tree_util.register_dataclass(
         DeviceBanded,
         data_fields=["bands", "resid"],
-        meta_fields=["num_rows", "wpages", "back", "n_pf", "seg_lens"],
+        meta_fields=["num_rows", "wpages", "back", "n_pf", "seg_lens",
+                     "pages", "n_shards", "col_axis"],
     )
 
 
 _register()
+
+
+def _global_pages(A: DeviceBanded) -> int:
+    return A.pages if A.pages else A.bands[0].shape[0]
 
 
 def block_window_key(rows_pf: np.ndarray, vals_pf: np.ndarray) -> np.ndarray:
@@ -161,15 +182,18 @@ def build_banded_split(
     seg_lens: list[int],
     max_pages: int = 8,
     dtype=np.float32,
+    pages: int = 0,
 ):
     """Build the banded split from PF column-ELL data.
 
     ``seg_lens``: PF length of each bucket segment (concatenated = n_pf).
+    ``pages`` overrides the ladder page count (block sharding pads it to a
+    multiple of the shard count; extra groups are empty).
     Returns (bands, back, wpages, fit_fraction, (resid_rows, resid_vals)).
     """
     n_pf, k = rows_pf.shape
     assert sum(seg_lens) == n_pf
-    Mp = -(-num_rows // PAGE)
+    Mp = pages if pages else -(-num_rows // PAGE)
     nz = vals_pf != 0
     back, wpages = _choose_window(rows_pf, vals_pf, seg_lens, Mp, max_pages)
     wmax = wpages * PAGE
@@ -182,6 +206,9 @@ def build_banded_split(
     off = 0
     for L in seg_lens:
         C = max(-(-L // Mp), 1)
+        # the matvec cores rely on the value-grouped partition's exact
+        # ladder (every group padded to the max page load): L == Mp*C
+        assert L == Mp * C, (L, Mp, C)
         band = np.zeros((Mp, C, wmax), dtype)
         seg_rows = rows_pf[off : off + L]
         seg_vals = vals_pf[off : off + L]
@@ -285,17 +312,28 @@ def _grmv_vmap(axis_size, in_batched, band, rw):
     )
 
 
-def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
-    """A_band @ x (no gathers/scatters; residual handled by the caller)."""
-    Mp = A.bands[0].shape[0]
+def _page_offset(A: DeviceBanded, gl: int):
+    """Global ladder-page offset of THIS shard's groups (0 unsharded)."""
+    if A.n_shards > 1 and A.col_axis is not None:
+        return jax.lax.axis_index(A.col_axis) * gl
+    return 0
+
+
+def _matvec_core(A: DeviceBanded, bands, x_pf, page_off) -> jnp.ndarray:
+    """One shard's (or the unsharded) band contribution: full-m partial
+    whose nonzero rows lie in pages [page_off - back, page_off + gl -
+    back + wpages)."""
+    gl = bands[0].shape[0]
     wpages = A.wpages
+    Gp = _global_pages(A)
     dt = x_pf.dtype
     Z = None
     off = 0
-    for band, L in zip(A.bands, A.seg_lens):
+    for band in bands:
         C = band.shape[1]
+        L = gl * C  # exact: the value-grouped partition pads every group
         seg = jax.lax.dynamic_slice_in_dim(x_pf, off, L, axis=-1)
-        seg = _pad_to(seg, Mp * C).reshape(Mp, C)
+        seg = seg.reshape(gl, C)
         z = _zmv(band, seg)
         Z = z if Z is None else Z + z
         off += L
@@ -305,26 +343,76 @@ def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
     Z = jax.lax.optimization_barrier(Z)
     # overlap-add in front-padded page coords (group g starts at padded
     # page g) via wpages STATIC shifted adds (dense update, no scatter)
-    pages = jnp.zeros((Mp + wpages, PAGE), dt)
+    pages = jnp.zeros((gl + wpages, PAGE), dt)
     for j in range(wpages):
-        pages = pages.at[j : j + Mp].add(Z[:, j * PAGE : (j + 1) * PAGE])
+        pages = pages.at[j : j + gl].add(Z[:, j * PAGE : (j + 1) * PAGE])
     flat = pages.reshape(-1)
-    return flat[A.back * PAGE : A.back * PAGE + A.num_rows]
+    if gl == Gp:  # unsharded / whole ladder: identity placement
+        return flat[A.back * PAGE : A.back * PAGE + A.num_rows]
+    y = jnp.zeros(((Gp + wpages) * PAGE,), dt)
+    y = jax.lax.dynamic_update_slice(y, flat, (page_off * PAGE,))
+    return jax.lax.slice(y, (A.back * PAGE,), (A.back * PAGE + A.num_rows,))
+
+
+def banded_matvec(A: DeviceBanded, x_pf: jnp.ndarray) -> jnp.ndarray:
+    """A_band @ x (no gathers/scatters; residual handled by the caller).
+
+    Sharded layouts return this shard's full-m PARTIAL (matvec_ps psums
+    over col_axis, same collective as the gather layout)."""
+    Gp = _global_pages(A)
+    g_here = A.bands[0].shape[0]
+    if A.n_shards > 1 and g_here == Gp:
+        # global (host/test/eval_shape) view of a sharded layout: x is
+        # device-major; evaluate shard by shard and sum the partials
+        gl = Gp // A.n_shards
+        n_loc = sum((b.shape[0] // A.n_shards) * b.shape[1] for b in A.bands)
+        y = None
+        for d in range(A.n_shards):
+            bands_d = [b[d * gl : (d + 1) * gl] for b in A.bands]
+            x_d = jax.lax.dynamic_slice_in_dim(x_pf, d * n_loc, n_loc, axis=-1)
+            yd = _matvec_core(A, bands_d, x_d, d * gl)
+            y = yd if y is None else y + yd
+        return y
+    return _matvec_core(A, list(A.bands), x_pf, _page_offset(A, g_here))
+
+
+def _rmatvec_core(A: DeviceBanded, bands, rp_flat, page_off) -> jnp.ndarray:
+    """One shard's A_band^T r segment; ``rp_flat`` is the globally
+    front-padded residual of length (pages + wpages) * PAGE."""
+    gl = bands[0].shape[0]
+    wpages = A.wpages
+    rp = jax.lax.dynamic_slice_in_dim(
+        rp_flat, page_off * PAGE, (gl + wpages) * PAGE, axis=-1
+    ).reshape(gl + wpages, PAGE)
+    Rw = jnp.concatenate([rp[j : j + gl] for j in range(wpages)], axis=1)  # (gl, wmax)
+    outs = []
+    for band in bands:
+        C = band.shape[1]
+        g = _grmv(band, Rw)
+        g = jax.lax.optimization_barrier(g)  # see _matvec_core fence note
+        outs.append(g.reshape(gl * C))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def _rp_flat(A: DeviceBanded, r: jnp.ndarray) -> jnp.ndarray:
+    """Front-pad ``back`` zero pages (group g's window then starts at padded
+    page g) and tail-pad to the global ladder length."""
+    Gp = _global_pages(A)
+    rp = jnp.concatenate([jnp.zeros((A.back * PAGE,), r.dtype), r])
+    return _pad_to(rp, (Gp + A.wpages) * PAGE)
 
 
 def banded_rmatvec(A: DeviceBanded, r: jnp.ndarray) -> jnp.ndarray:
-    """A_band^T @ r (window reads are static page slices)."""
-    Mp = A.bands[0].shape[0]
-    wpages = A.wpages
-    dt = r.dtype
-    # front-pad `back` zero pages so group g's window starts at padded page g
-    rp = jnp.concatenate([jnp.zeros((A.back * PAGE,), dt), r])
-    rp = _pad_to(rp, (Mp + wpages) * PAGE).reshape(Mp + wpages, PAGE)
-    Rw = jnp.concatenate([rp[j : j + Mp] for j in range(wpages)], axis=1)  # (Mp, wmax)
-    outs = []
-    for band, L in zip(A.bands, A.seg_lens):
-        C = band.shape[1]
-        g = _grmv(band, Rw)
-        g = jax.lax.optimization_barrier(g)  # see banded_matvec fence note
-        outs.append(g.reshape(Mp * C)[:L])
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    """A_band^T @ r (window reads are page slices — static offsets
+    unsharded, one dynamic page-aligned slice per shard when sharded)."""
+    Gp = _global_pages(A)
+    g_here = A.bands[0].shape[0]
+    rp = _rp_flat(A, r)
+    if A.n_shards > 1 and g_here == Gp:
+        gl = Gp // A.n_shards
+        outs = []
+        for d in range(A.n_shards):
+            bands_d = [b[d * gl : (d + 1) * gl] for b in A.bands]
+            outs.append(_rmatvec_core(A, bands_d, rp, d * gl))
+        return jnp.concatenate(outs)  # device-major PF order
+    return _rmatvec_core(A, list(A.bands), rp, _page_offset(A, g_here))

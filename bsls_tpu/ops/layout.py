@@ -559,12 +559,21 @@ def block_scales(problem: Problem) -> np.ndarray:
 def _prepare_banded(
     problem: Problem, dtype, equilibrate: bool, force: bool,
     fit_threshold: float = 0.6, band_budget_bytes: int = 2 << 30,
-) -> Optional[DeviceProblem]:
+    n_shards: int = 1, col_axis: Optional[str] = None,
+):
     """Try the banded-split layout (ops/banded.py): re-orders blocks by row
     window, builds per-bucket band tensors + a sparse residual.  Returns
-    None when the instance is not bandable enough (fit fraction below
-    threshold) or the band tensors would blow the memory budget — the
-    caller then falls back to the gather layout."""
+    (DeviceProblem, BlockPartition) — the VALUE-GROUPED partition the caller
+    must use for extraction — or (None, None) when the instance is not
+    bandable enough (fit fraction below threshold) or the band tensors
+    would blow the memory budget; the caller then falls back to the gather
+    layout.
+
+    ``n_shards > 1`` (VERDICT r2 #5) shards the band tensors along the
+    group axis over ``col_axis``: the ladder page count pads to a multiple
+    of n_shards, so every shard owns gl = pages/n_shards contiguous groups
+    = a contiguous block range = a contiguous row window.  The residual
+    rides the standard column-sharded dual-ELL."""
     from .banded import PAGE, DeviceBanded, build_banded_split
 
     part = problem.partition
@@ -575,8 +584,11 @@ def _prepare_banded(
     col_min = np.where(nzmask, rows_h, np.iinfo(np.int32).max).min(axis=1)
     col_max = np.where(nzmask, rows_h, -1).max(axis=1)
     offsets = np.concatenate([[0], np.cumsum(part.sizes)])[:-1]
-    Mp = -(-A0.num_rows // PAGE)
-    block_page = np.clip(np.minimum.reduceat(col_min, offsets) // PAGE, 0, Mp - 1)
+    Mp_real = -(-A0.num_rows // PAGE)
+    Mp = n_shards * (-(-Mp_real // n_shards))  # pad ladder to the shard count
+    block_page = np.clip(
+        np.minimum.reduceat(col_min, offsets) // PAGE, 0, Mp_real - 1
+    )
 
     # cheap pre-screens BEFORE building the grouped partition (the full
     # banded attempt costs ~1 s of host work on the standard medium config
@@ -586,17 +598,19 @@ def _prepare_banded(
     span_ok = (col_max - col_min) <= 7 * PAGE  # max_pages=8 window
     frac_ok = float(col_nnz[span_ok & (col_nnz > 0)].sum()) / max(col_nnz.sum(), 1)
     if frac_ok < fit_threshold and not force:
-        return None
+        return None, None
     # (b) band memory at the value-grouped inflation (bpp = max page load)
     bpp = int(np.bincount(block_page, minlength=Mp).max())
     est_bytes = Mp * bpp * float(np.mean(part.sizes) + 2) * 1024 * 4
     if est_bytes > band_budget_bytes and not force:
-        return None
+        return None, None
 
     # value-grouped partition: a block's PF row exactly encodes its window
     # page, so the banded ladder is exact (groups padded to max page load)
     part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp)
 
+    # bucket-major perm for the band build (groups ascending per bucket);
+    # the DeviceProblem stores the device-major perm when sharded
     perm = build_pf_perm(part2, 1)
     if equilibrate:
         c = block_scales(problem)
@@ -617,14 +631,36 @@ def _prepare_banded(
 
     seg_lens = [b.num_blocks * b.width for b in part2.buckets]
     bands, back, wpages, fit, (res_rows, res_vals) = build_banded_split(
-        rows_pf, vals_pf, A0.num_rows, seg_lens, dtype=np_dtype
+        rows_pf, vals_pf, A0.num_rows, seg_lens, dtype=np_dtype, pages=Mp
     )
     if fit < fit_threshold and not force:
-        return None
+        return None, None
+
+    if n_shards > 1:
+        # device-major reindex of the residual/perm: device d's chunk is
+        # [bucket0 rows d*L0/n..(d+1)*L0/n, bucket1 rows ..., ...]
+        seg_off = np.concatenate([[0], np.cumsum(seg_lens)])
+        chunks = [
+            np.arange(seg_off[i] + d * (L // n_shards),
+                      seg_off[i] + (d + 1) * (L // n_shards))
+            for d in range(n_shards)
+            for i, L in enumerate(seg_lens)
+        ]
+        bm_of_dm = np.concatenate(chunks)
+        perm = perm[bm_of_dm]
+        res_rows = res_rows[bm_of_dm]
+        res_vals = res_vals[bm_of_dm]
 
     if (res_vals != 0).any():
-        mv_cols, mv_vals = _build_row_ell(res_rows, res_vals, A0.num_rows, 1)
-        rt_r, rt_v, rt_inv, n_zero = _build_col_ell_bucketed(res_rows, res_vals)
+        mv_cols, mv_vals = _build_row_ell(res_rows, res_vals, A0.num_rows, n_shards)
+        if n_shards == 1:
+            rt_r, rt_v, rt_inv, n_zero = _build_col_ell_bucketed(res_rows, res_vals)
+        else:
+            # col-nnz bucketing reorders PF columns globally — incompatible
+            # with the per-shard leading-axis specs; sharded residual A^T r
+            # uses the plain local (n_loc, k) gather
+            rt_r = rt_v = rt_inv = None
+            n_zero = 0
         resid = DeviceEll(
             rows=jnp.asarray(res_rows),
             vals=jnp.asarray(res_vals, dtype=dtype),
@@ -648,6 +684,9 @@ def _prepare_banded(
         back=back,
         n_pf=int(perm.size),
         seg_lens=tuple(seg_lens),
+        pages=Mp,
+        n_shards=n_shards,
+        col_axis=col_axis if n_shards > 1 else None,
     )
     buckets = tuple(
         DeviceBucket(
@@ -668,7 +707,8 @@ def _prepare_banded(
         perm=jnp.asarray(perm),
         n_user=part.n_flat,
         num_rows=A0.num_rows,
-    )
+        col_axis=col_axis if n_shards > 1 else None,
+    ), part2
 
 
 def prepare(
@@ -681,12 +721,17 @@ def prepare(
     row_shards: int = 1,
     layout: str = "auto",  # auto | banded | gather
     reduce_axis: Optional[str] = None,  # deprecated alias for col_axis
+    _out: Optional[dict] = None,
 ) -> DeviceProblem:
     """Move a host Problem into the device-side PF layout.
 
     ``n_shards > 1`` lays A's columns out device-major for a block-sharded
     mesh (see bsls_tpu.parallel.sharding); the single-device layout is the
     n_shards=1 special case of the same path.
+
+    When the banded layout is selected, the value-grouped partition it
+    solves under is stashed in ``_out['partition']`` (the caller's
+    extraction must use it — the banded path re-orders and re-pads blocks).
     """
     # banded x scenario cross-over: the band tensors stream the same bytes
     # per iteration regardless of S, while scenario batching amortises the
@@ -699,16 +744,24 @@ def prepare(
     )
     if (
         (layout == "banded" or (layout == "auto" and num_scenarios < 16))
-        and n_shards == 1
         and row_shards == 1
-        and not (col_axis or reduce_axis or row_axis)
+        and not row_axis
+        and (n_shards == 1 or (col_axis or reduce_axis))
         and isinstance(problem.A, EllMatrix)
     ):
-        dp = _prepare_banded(problem, dtype, equilibrate, force=(layout == "banded"))
+        dp, part2 = _prepare_banded(
+            problem, dtype, equilibrate, force=(layout == "banded"),
+            n_shards=n_shards, col_axis=col_axis or reduce_axis,
+        )
         if dp is not None:
+            if _out is not None:
+                _out["partition"] = part2
             return dp
     elif layout == "banded":
-        raise ValueError("layout='banded' requires an unsharded EllMatrix instance")
+        raise ValueError(
+            "layout='banded' requires an EllMatrix instance and column "
+            "(block) or no sharding — row sharding has no banded form"
+        )
     part = problem.partition
     perm = build_pf_perm(part, n_shards)
     if equilibrate:

@@ -37,6 +37,8 @@ _LEAF_SPECS = {
     "data": P(None, BLOCK_AXIS),  # dense A columns
     "rows": P(BLOCK_AXIS, None),  # ELL (column-oriented)
     "vals": P(BLOCK_AXIS, None),
+    "bands": P(BLOCK_AXIS, None, None),  # banded layout: group axis = block
+    # ranges in the value-grouped partition (ops/banded.py DeviceBanded)
     "mv_cols": P(BLOCK_AXIS, None, None),  # row-ELL per shard (local indices)
     "mv_vals": P(BLOCK_AXIS, None, None),
     "bottom_scale": P(),
@@ -171,12 +173,15 @@ def state_specs(state, rows: bool = False, grid: bool = False):
 
 
 def shard_problem(problem: Problem, mesh, dtype=jnp.float32,
-                  equilibrate: bool = True):
+                  equilibrate: bool = True, layout: str = "auto"):
     """Prepare + device_put a Problem onto the mesh.
 
     Rebuilds the partition so every bucket's rows divide the block axis and
     lays A's columns out device-major (L.prepare(n_shards=nb)).
-    Returns (dp_sharded, part) where dp.col_axis='block'.
+    Returns (dp_sharded, part) where dp.col_axis='block'.  When the banded
+    layout is selected (corridor-structured A, small S, or
+    layout='banded'), ``part`` is the value-grouped partition the band
+    ladder solves under — extraction maps through it.
     """
     from ..models.partition import BlockPartition
 
@@ -192,8 +197,10 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32,
     if b.shape[0] % ns:
         raise ValueError(f"num scenarios {b.shape[0]} not divisible by scenario axis {ns}")
     problem = replace(problem, b=b)
+    out_info: dict = {}
     dp = L.prepare(problem, dtype=dtype, n_shards=nb, col_axis=BLOCK_AXIS,
-                   equilibrate=equilibrate)
+                   equilibrate=equilibrate, layout=layout, _out=out_info)
+    part = out_info.get("partition", part)
     specs = dp_specs(dp)
     dp = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
@@ -402,6 +409,7 @@ def solve_sharded(
     stop_rule: str = "auto",
     lbfgs_mem: int = 8,
     lipschitz=None,
+    layout: str = "auto",
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
@@ -451,7 +459,7 @@ def solve_sharded(
         elif shard_rows:
             dp, part = shard_problem_rows(problem, mesh, dtype=dtype)
         else:
-            dp, part = shard_problem(problem, mesh, dtype=dtype)
+            dp, part = shard_problem(problem, mesh, dtype=dtype, layout=layout)
     opts = SolveOptions(
         method=method, line_search=line_search, tol=tol,
         max_iter=max_iter, chunk=chunk, step_size=step_size, unroll=unroll,

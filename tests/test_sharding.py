@@ -254,3 +254,68 @@ def test_2d_grid_sharded_dense(eight_devices):
         float(np.asarray(r2d.objective)), float(np.asarray(r1d.objective)),
         rtol=5e-4, atol=1e-6,
     )
+
+
+# ---------------- sharded banded layout (VERDICT r2 #5) ----------------
+#
+# Corridor-structured instances are the only ones that beat the C baseline
+# single-RHS (BASELINE.md: 491.7 it/s = 2.56x via the banded-split layout);
+# these tests pin that layout's block-mesh form: band tensors sharded along
+# the group (ladder-page) axis — contiguous block ranges in the
+# value-grouped partition — with the same length-m psum as the gather
+# layout.
+
+
+def test_sharded_banded_auto_selected(eight_devices):
+    """layout='auto' at S<16 picks the banded layout under a block mesh and
+    matches the unsharded solve (which picks the same layout)."""
+    from bsls_tpu.models.synthetic import with_scenarios
+    from bsls_tpu.ops.banded import DeviceBanded
+
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = with_scenarios(synthetic.medium_banded(seed=0, num_blocks=600), 2, seed=5)
+    dp, part = shard_problem(prob, mesh, layout="auto")
+    assert isinstance(dp.A, DeviceBanded)
+    assert dp.A.n_shards == 4 and dp.A.pages % 4 == 0
+    # band tensors really sharded along the group axis
+    assert dp.A.bands[0].sharding.spec[0] == "block"
+    res4 = solve_sharded(prob, mesh, method="pgd", line_search="bb",
+                         tol=0.0, max_iter=60, chunk=20)
+    res1 = bsls.solve(prob, method="pgd", line_search="bb",
+                      tol=0.0, max_iter=60, chunk=20)
+    np.testing.assert_allclose(
+        np.asarray(res4.objective), np.asarray(res1.objective), rtol=5e-4
+    )
+    np.testing.assert_allclose(res4.x, res1.x, atol=5e-4)
+
+
+def test_sharded_banded_forced_single_rhs(eight_devices):
+    """layout='banded' forces the band path on the full 8-way block mesh;
+    single-RHS parity against the unsharded banded solve (ragged buckets:
+    medium_banded has 2 width buckets)."""
+    from bsls_tpu.ops.banded import DeviceBanded
+
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = synthetic.medium_banded(seed=3, num_blocks=600)
+    dp, part = shard_problem(prob, mesh, layout="banded")
+    assert isinstance(dp.A, DeviceBanded) and dp.A.n_shards == 8
+    res8 = solve_sharded(prob, mesh, method="lbfgs", tol=1e-7, max_iter=300,
+                         chunk=50, layout="banded")
+    res1 = bsls.solve(prob, method="lbfgs", tol=1e-7, max_iter=300, chunk=50)
+    np.testing.assert_allclose(
+        float(np.asarray(res8.objective)), float(np.asarray(res1.objective)),
+        rtol=5e-4, atol=1e-5,
+    )
+
+
+def test_sharded_banded_gather_fallback(eight_devices):
+    """Uniform-random instances TALLER than the window (column spans exceed
+    the 8-page ladder window) fail the bandability pre-screen and fall back
+    to the gather layout under layout='auto' on a mesh.  (Short instances —
+    m within ~8 pages — are legitimately bandable and take the band path.)"""
+    from bsls_tpu.ops.banded import DeviceBanded
+
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = _uniform_prob(S=2, m=4096)
+    dp, part = shard_problem(prob, mesh, layout="auto")
+    assert not isinstance(dp.A, DeviceBanded)
