@@ -113,23 +113,30 @@ class EllMatrix:
         return EllMatrix(rows=r, vals=v[:, :k_new], num_rows=self.num_rows)
 
     @staticmethod
+    def from_csc(indptr, indices, data, num_rows: int) -> "EllMatrix":
+        """Build from raw CSC components WITHOUT a scipy intermediate —
+        the scale ingestion path (.mat v7.3 stores CSC directly; 48M-nnz
+        instances must load in seconds).  One O(nnz) pass through the
+        native engine (bsls_tpu/native, numpy fallback).  The components
+        must be canonical (no duplicate rows within a column) — MATLAB and
+        scipy both guarantee this; call ``coalesce()`` on hand-built data.
+        """
+        from ..native import csc_ell
+
+        rows, vals = csc_ell(indptr, indices, data)
+        return EllMatrix(rows=rows, vals=vals, num_rows=num_rows)
+
+    @staticmethod
     def from_scipy(A) -> "EllMatrix":
-        # vectorised (no per-column Python loop): the .mat ingestion path
-        # must handle multi-million-column instances in seconds
+        # one native O(nnz) pass (no per-column loop, no key vectors): the
+        # .mat ingestion path must handle multi-million-column instances in
+        # seconds
         import scipy.sparse as sp
 
         A = sp.csc_matrix(A)
         A.sum_duplicates()  # the coalesced-coordinates invariant (coalesce())
         m, n = A.shape
-        counts = np.diff(A.indptr)
-        k = max(int(counts.max()) if n else 1, 1)
-        rows = np.zeros((n, k), dtype=np.int32)
-        vals = np.zeros((n, k), dtype=A.dtype)
-        col_id = np.repeat(np.arange(n), counts)
-        pos = np.arange(A.indices.size) - np.repeat(A.indptr[:-1], counts)
-        rows[col_id, pos] = A.indices
-        vals[col_id, pos] = A.data
-        return EllMatrix(rows=rows, vals=vals, num_rows=m)
+        return EllMatrix.from_csc(A.indptr, A.indices, A.data, m)
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
         contrib = (self.vals * x[:, None]).ravel()
@@ -196,15 +203,18 @@ def _load_mat73(path: str) -> dict:
     (column-major) and sparse matrices as a group of CSC components
     (data/ir/jc) whose row count lives in the MATLAB_sparse attribute."""
     import h5py
-    import scipy.sparse as sp
 
     def read(node, is_matrix):
         if isinstance(node, h5py.Group):  # sparse CSC components
+            # straight CSC -> EllMatrix (native one-pass encode): no scipy
+            # intermediate, whose constructor re-validates and copies the
+            # 48M-nnz index arrays.  MATLAB sparse storage is canonical
+            # (sorted, deduplicated), which from_csc requires.
             data = np.asarray(node["data"]).ravel()
-            ir = np.asarray(node["ir"]).ravel().astype(np.int64)
+            ir = np.asarray(node["ir"]).ravel()
             jc = np.asarray(node["jc"]).ravel().astype(np.int64)
             nrows = int(node.attrs["MATLAB_sparse"])
-            return sp.csc_matrix((data, ir, jc), shape=(nrows, jc.size - 1))
+            return EllMatrix.from_csc(jc, ir, data, nrows)
         arr = np.asarray(node)
         if is_matrix:  # matrices stay 2-D even with a singleton dim
             return arr.T if arr.ndim == 2 else arr.reshape(1, -1)

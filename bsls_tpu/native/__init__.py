@@ -18,7 +18,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["group_ell", "native_available"]
+__all__ = ["csc_ell", "group_ell", "native_available"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "layout_kernels.cc")
@@ -63,6 +63,14 @@ def _load():
             lib.bsls_ell_fill_f64.argtypes = [
                 i64p, i32p, f64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
             ]
+            lib.bsls_csc_fill.restype = None
+            lib.bsls_csc_fill.argtypes = [
+                i64p, i32p, f32p, ctypes.c_int64, ctypes.c_int64, i32p, f32p,
+            ]
+            lib.bsls_csc_fill_f64.restype = None
+            lib.bsls_csc_fill_f64.argtypes = [
+                i64p, i32p, f64p, ctypes.c_int64, ctypes.c_int64, i32p, f64p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -84,6 +92,39 @@ def _group_ell_numpy(keys, idx, vals, num_groups):
     cols[key_s, pos] = idx[order]
     out_vals[key_s, pos] = vals[order]
     return cols, out_vals
+
+
+def _csc_ell_numpy(indptr, indices, data, width):
+    n = indptr.size - 1
+    counts = np.diff(indptr)
+    rows = np.zeros((n, width), np.int32)
+    vals = np.zeros((n, width), data.dtype)
+    col_id = np.repeat(np.arange(n), counts)
+    pos = np.arange(indices.size) - np.repeat(indptr[:-1], counts)
+    rows[col_id, pos] = indices
+    vals[col_id, pos] = data
+    return rows, vals
+
+
+def csc_ell(indptr, indices, data):
+    """CSC components -> padded column-ELL (rows int32 (n, W), vals (n, W)),
+    W = max per-column count.  One O(nnz) native pass with no key
+    materialisation (the 48M-nnz .mat ingestion path); numpy fallback is
+    the classic repeat/scatter."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    want64 = np.dtype(data.dtype) == np.float64
+    data = np.ascontiguousarray(data, np.float64 if want64 else np.float32)
+    n = indptr.size - 1
+    width = max(int(np.diff(indptr).max()) if n else 1, 1)
+    lib = _load()
+    if lib is None:
+        return _csc_ell_numpy(indptr, indices, data, width)
+    rows = np.zeros((n, width), np.int32)
+    vals = np.zeros((n, width), data.dtype)
+    fill = lib.bsls_csc_fill_f64 if want64 else lib.bsls_csc_fill
+    fill(indptr, indices, data, n, width, rows.reshape(-1), vals.reshape(-1))
+    return rows, vals
 
 
 def group_ell(keys, idx, vals, num_groups: int):

@@ -55,4 +55,37 @@ void bsls_ell_fill_f64(const int64_t* keys, const int32_t* idx,
   }
 }
 
+// CSC -> column-ELL fill: one pass over the columns, no key
+// materialisation (the 48M-nnz ingestion path would otherwise allocate
+// and scan a 48M int64 key vector just to rediscover the group runs the
+// CSC indptr already encodes).  out_rows/out_vals zero-initialised by the
+// caller (padding slots keep row 0 / value 0).
+void bsls_csc_fill(const int64_t* indptr, const int32_t* indices,
+                   const float* val, int64_t ncols, int64_t width,
+                   int32_t* out_rows, float* out_vals) {
+  for (int64_t j = 0; j < ncols; ++j) {
+    const int64_t lo = indptr[j], hi = indptr[j + 1];
+    int32_t* orow = out_rows + j * width;
+    float* oval = out_vals + j * width;
+    for (int64_t t = lo; t < hi; ++t) {
+      orow[t - lo] = indices[t];
+      oval[t - lo] = val[t];
+    }
+  }
+}
+
+void bsls_csc_fill_f64(const int64_t* indptr, const int32_t* indices,
+                       const double* val, int64_t ncols, int64_t width,
+                       int32_t* out_rows, double* out_vals) {
+  for (int64_t j = 0; j < ncols; ++j) {
+    const int64_t lo = indptr[j], hi = indptr[j + 1];
+    int32_t* orow = out_rows + j * width;
+    double* oval = out_vals + j * width;
+    for (int64_t t = lo; t < hi; ++t) {
+      orow[t - lo] = indices[t];
+      oval[t - lo] = val[t];
+    }
+  }
+}
+
 }  // extern "C"

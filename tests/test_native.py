@@ -76,3 +76,40 @@ def test_prepare_identical_with_and_without_native():
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_csc_ell_matches_numpy_and_scipy():
+    """from_csc's native one-pass encode == numpy fallback == scipy matvec
+    (the 48M-nnz .mat ingestion path, scaled down)."""
+    import scipy.sparse as sp
+
+    from bsls_tpu.models.problem import EllMatrix
+
+    rng = np.random.default_rng(3)
+    A = sp.random(700, 400, density=0.04, format="csc", random_state=11)
+    ref_rows, ref_vals = native._csc_ell_numpy(
+        A.indptr.astype(np.int64), A.indices.astype(np.int32),
+        A.data.astype(np.float64), int(np.diff(A.indptr).max()),
+    )
+    rows, vals = native.csc_ell(A.indptr, A.indices, A.data)
+    np.testing.assert_array_equal(rows, ref_rows)
+    np.testing.assert_array_equal(vals, ref_vals)
+    E = EllMatrix.from_csc(A.indptr, A.indices, A.data, A.shape[0])
+    x = rng.random(400)
+    np.testing.assert_allclose(E.matvec(x), A @ x, rtol=1e-12)
+    r = rng.random(700)
+    np.testing.assert_allclose(E.rmatvec(r), A.T @ r, rtol=1e-12)
+
+
+def test_csc_ell_float64_and_empty_columns():
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(
+        (np.array([2.0, 3.0, 5.0]), np.array([1, 0, 4]),
+         np.array([0, 1, 1, 3, 3])),  # col 1 and 3 empty
+        shape=(6, 4),
+    )
+    rows, vals = native.csc_ell(A.indptr, A.indices, A.data)
+    assert vals.dtype == np.float64
+    assert rows.shape == (4, 2)
+    np.testing.assert_array_equal((vals != 0).sum(axis=1), [1, 0, 2, 0])
