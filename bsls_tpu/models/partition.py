@@ -99,6 +99,7 @@ class BlockPartition:
         max_buckets: int = 4,
         order_key=None,
         groups: int | None = None,
+        group_cap_quantile: float | None = None,
     ) -> "BlockPartition":
         """``order_key``: optional (B,) array; blocks within each bucket are
         sorted by it (stable).  Used by the banded layout to order blocks by
@@ -112,7 +113,17 @@ class BlockPartition:
         its group.  The banded layout passes groups = number of 128-row
         pages and key = each block's window page; tail-only padding or
         quantile-balanced groups would let the static ladder drift off the
-        band by the local density fluctuation (~m/sqrt(B) rows)."""
+        band by the local density fluctuation (~m/sqrt(B) rows).
+
+        ``group_cap_quantile``: with groups, cap each group's load at that
+        quantile of the nonzero loads and carry overflow blocks FORWARD to
+        the next group with spare capacity (never backward, so a carried
+        block's rows sit at most a few pages behind its assigned ladder
+        page — the banded window's ``back`` margin absorbs the shift, and
+        columns shifted too far spill to the gather residual).  This caps
+        the bands-per-page padding inflation: every group pads to the max
+        load, so one dense page would otherwise inflate EVERY group's
+        memory."""
         sizes = np.asarray(sizes, dtype=np.int64)
         if sizes.ndim != 1 or sizes.size == 0:
             raise ValueError("sizes must be a non-empty 1-D array")
@@ -150,6 +161,28 @@ class BlockPartition:
                 # the group — what the banded layout's static ladder needs.
                 gid = np.clip(np.asarray(order_key)[ids].astype(np.int64), 0, groups - 1)
                 counts = np.bincount(gid, minlength=groups)
+                if group_cap_quantile is not None and counts.max() > 0:
+                    nzc = counts[counts > 0]
+                    cap = max(int(np.ceil(np.quantile(nzc, group_cap_quantile))), 1)
+                    if counts.max() > cap:
+                        # forward-carry levelling sweep (O(groups))
+                        new_counts = np.zeros_like(counts)
+                        carry = 0
+                        for g in range(groups):
+                            load = int(counts[g]) + carry
+                            take = min(load, cap)
+                            new_counts[g] = take
+                            carry = load - take
+                        if carry:  # tail overflow: last group absorbs it
+                            new_counts[groups - 1] += carry
+                        # ids are sorted by gid (stable); reassignment
+                        # preserves order, so block i's new group is just
+                        # the repeat expansion — forward-only by induction
+                        # (cumulative new counts never exceed cumulative
+                        # old counts)
+                        gid = np.repeat(np.arange(groups, dtype=np.int64),
+                                        new_counts)
+                        counts = new_counts
                 bpp = max(int(counts.max()), 1)
                 bk = _round_up(groups * bpp, block_multiple)
                 row_of = np.full(bk, -1, dtype=np.int64)  # index into ids

@@ -606,8 +606,12 @@ def _prepare_banded(
         return None, None
 
     # value-grouped partition: a block's PF row exactly encodes its window
-    # page, so the banded ladder is exact (groups padded to max page load)
-    part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp)
+    # page, so the banded ladder is exact (groups padded to max page load,
+    # with the load CAPPED at the p90 of nonzero page loads — overflow
+    # blocks carry forward a page or two and the window's `back` margin
+    # absorbs the shift; VERDICT r2 #10 memory trim)
+    part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp,
+                                      group_cap_quantile=0.9)
 
     # bucket-major perm for the band build (groups ascending per bucket);
     # the DeviceProblem stores the device-major perm when sharded
