@@ -64,9 +64,9 @@ def main(argv=None):
     from bsls_tpu.models.synthetic import with_scenarios
 
     prob = (
-        synthetic.make_config(args.config)
-        if args.config in ("tiny", "medium", "traffic", "traffic_random", "large")
-        else Problem.load(args.config)
+        Problem.load(args.config)
+        if os.path.exists(args.config)
+        else synthetic.make_config(args.config)
     )
     if prob.C is not None:
         prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name=prob.name)
