@@ -39,6 +39,10 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from bsls_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # fresh-process reruns replay compiles from disk
+
     from bsls_tpu.models import synthetic
     from bsls_tpu.serving import Endpoint
 
@@ -47,7 +51,7 @@ def main(argv=None):
     rng = np.random.default_rng(1)
     b0 = np.asarray(prob.b)
 
-    lat, viol = [], []
+    lat, viol, conv = [], [], []
     for i in range(args.requests + 1):  # +1: request 0 is the cold compile
         b = b0 * (1.0 + args.perturb * rng.standard_normal(b0.shape))
         t0 = time.perf_counter()
@@ -55,6 +59,7 @@ def main(argv=None):
         lat.append(time.perf_counter() - t0)
         v = getattr(res, "eq_violation", None)
         viol.append(float(v) if v is not None else 0.0)
+        conv.append(bool(res.converged))
     row = {
         "config": prob.name,
         "method": args.method,
@@ -63,6 +68,7 @@ def main(argv=None):
         "warm_median_s": round(float(np.median(lat[1:])), 3),
         "warm_all_s": [round(t, 3) for t in lat[1:]],
         "eq_violation_max": float(np.max(viol[1:])) if prob.C is not None else None,
+        "all_converged": all(conv[1:]),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(row), flush=True)

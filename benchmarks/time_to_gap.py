@@ -47,6 +47,10 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from bsls_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # fresh-process reruns replay compiles from disk
+
     import bsls_tpu as bsls
     from bsls_tpu.models import Problem, oracle_solve, synthetic
 

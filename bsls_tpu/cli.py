@@ -71,6 +71,10 @@ def main(argv=None):
     if args.debug:
         jax.config.update("jax_debug_nans", True)
 
+    from bsls_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # warm repeat runs skip the multi-minute compile
+
     import bsls_tpu as bsls
     from bsls_tpu.models import Problem, oracle_solve, synthetic
     from bsls_tpu.utils.config import load_config

@@ -43,6 +43,12 @@ class Endpoint:
         warm_start: bool = True,
         mesh=None,
     ):
+        # cold-start is almost entirely XLA compile time (measured ~79 s
+        # for the eq lbfgs path); the persistent cache replays it across
+        # process restarts (BSLS_NO_COMPILE_CACHE=1 opts out)
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.method = method
         self.line_search = line_search
         self.chunk = chunk

@@ -264,3 +264,20 @@ def test_c_baseline_matches_oracle_objective():
     orc = oracle_solve(prob, tol_gap=1e-9, max_iter=20000)
     rel = (res["objective"] - orc.objective) / max(1.0, orc.objective)
     assert rel <= 1e-5, (res["objective"], orc.objective)
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """Persistent-cache helper: idempotent, env-gated, creates the dir."""
+    import importlib
+
+    from bsls_tpu.utils import compile_cache as cc
+
+    importlib.reload(cc)
+    monkeypatch.setenv("BSLS_COMPILE_CACHE_DIR", str(tmp_path / "jx"))
+    assert cc.enable_compile_cache() is True
+    assert (tmp_path / "jx").is_dir()
+    assert cc.enable_compile_cache() is True  # idempotent
+    importlib.reload(cc)
+    monkeypatch.setenv("BSLS_NO_COMPILE_CACHE", "1")
+    assert cc.enable_compile_cache() is False
+    importlib.reload(cc)  # leave a fresh module state for other tests
