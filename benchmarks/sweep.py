@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=100)
     p.add_argument("--tol", type=float, default=0.0)
     p.add_argument("--oracle", action="store_true")
+    p.add_argument("--lbfgs-mem", type=int, default=8)
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     p.add_argument(
@@ -97,6 +98,7 @@ def main(argv=None):
             res = bsls.solve(
                 prob, method=method, line_search=ls, tol=args.tol,
                 max_iter=args.max_iter, chunk=args.chunk,
+                lbfgs_mem=args.lbfgs_mem,
             )
         except Exception as e:  # one method failing must not kill the sweep
             print(json.dumps({

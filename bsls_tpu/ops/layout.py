@@ -18,6 +18,7 @@ BASELINE.json:5 "block-local compute with psum/all-reduce collectives").
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Union
 
@@ -606,12 +607,17 @@ def _prepare_banded(
         return None, None
 
     # value-grouped partition: a block's PF row exactly encodes its window
-    # page, so the banded ladder is exact (groups padded to max page load,
-    # with the load CAPPED at the p90 of nonzero page loads — overflow
-    # blocks carry forward a page or two and the window's `back` margin
-    # absorbs the shift; VERDICT r2 #10 memory trim)
+    # page, so the banded ladder is exact (groups padded to max page load).
+    # Capping the load at a quantile (overflow blocks carry forward a page
+    # and the window's `back` margin absorbs the shift) trims band memory
+    # 365 -> 211 MB on medium_banded but costs 6.4x in it/s (539 -> 84,
+    # measured on-chip: the carried-forward blocks widen the effective
+    # window of every later page), so the cap is OFF by default and
+    # BSLS_BAND_CAP=<q> opts in when HBM, not throughput, binds.
+    cap_env = os.environ.get("BSLS_BAND_CAP", "none")
+    cap_q = None if cap_env.lower() == "none" else float(cap_env)
     part2 = BlockPartition.from_sizes(part.sizes, order_key=block_page, groups=Mp,
-                                      group_cap_quantile=0.9)
+                                      group_cap_quantile=cap_q)
 
     # bucket-major perm for the band build (groups ascending per bucket);
     # the DeviceProblem stores the device-major perm when sharded
@@ -1067,6 +1073,22 @@ pvdot = xdot
 
 
 # ---------------- small helpers ----------------
+
+
+def inject_user_grad(dp: DeviceProblem, g_user: jnp.ndarray) -> jnp.ndarray:
+    """User-flat GRADIENT -> PF flat in the equilibrated coordinates.
+
+    The device solves in u = c_b * x (block equilibration), so gradients
+    transform inversely: g_dev = g_user / c_b.  Used by the iterative-
+    refinement anchor (solvers/base.py solve(refine=K))."""
+    rad_p = tuple(
+        jnp.broadcast_to(bk.radius[:, None], bk.mask.shape) * bk.mask for bk in dp.buckets
+    )
+    scale_pf = padded_to_flat(dp, rad_p)
+    sel = dp.perm >= 0
+    return jnp.where(
+        sel, g_user[jnp.maximum(dp.perm, 0)] / jnp.maximum(scale_pf, 1e-30), 0.0
+    )
 
 
 def inject_user_flat(dp: DeviceProblem, x_user: jnp.ndarray):

@@ -325,6 +325,36 @@ def test_certify_polish_tightens_gap():
     assert float(r1.objective) - orc.objective <= float(r1.gap) + 1e-6
 
 
+@pytest.mark.slow
+def test_refine_polish_breaks_fp32_floor():
+    """refine=K (active-set tangent-space CG polish, f64 host anchor) must
+    push the true f64-evaluated relative gap well below the fp32 plateau
+    (~2e-6..1e-5 on medium-scale instances).  The polish accepts only
+    f64-objective improvements, so it can never make the solve worse."""
+    prob = synthetic.medium_sparse(seed=0, num_blocks=400, m=3000)
+    orc = oracle_solve(prob, tol_gap=1e-10, max_iter=40000)
+    r0 = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=1200, chunk=100)
+    f0 = float(prob.objective_np(np.asarray(r0.x, np.float64)))
+    r1 = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=1200, chunk=100,
+                    refine=3)
+    f1 = float(r1.objective)
+    fs = orc.objective
+    assert f1 <= f0 + 1e-12  # never worse
+    # refined solution is far below the fp32 floor (and feasible)
+    assert (f1 - fs) / max(fs, 1e-30) < 1e-7, (f1, f0, fs)
+    x = np.asarray(r1.x)
+    sizes = prob.partition.sizes
+    off = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    assert np.all(x >= -1e-12)
+    assert np.allclose(np.add.reduceat(x, off), 1.0, atol=1e-9)
+
+
+def test_refine_polish_rejects_unsupported():
+    prob = synthetic.with_scenarios(synthetic.tiny_dense(num_blocks=20, m=100), 3)
+    with pytest.raises(ValueError, match="single-RHS"):
+        bsls.solve(prob, method="pgd", max_iter=10, refine=1)
+
+
 def test_steady_iters_per_sec_spans_syncs():
     """steady_iters_per_sec must use iterations-spanned / seconds-spanned
     over the paired (chunk_iters, chunk_times) sync records — one record may
