@@ -36,6 +36,12 @@ def main(argv=None):
     p.add_argument("--methods", default="lbfgs,pgd/bb,pgd/bbm")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--chunk", type=int, default=25)
+    p.add_argument(
+        "--refine", type=int, default=0,
+        help="refine=K polish rounds after each solve; the polish wall time "
+        "(res.refine_secs) is ADDED to time_to_gap_s, so the number stays "
+        "honest — fp32 alone floors at ~2e-6..1e-5 true gap on medium",
+    )
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -67,15 +73,16 @@ def main(argv=None):
     for item in args.methods.split(","):
         method, _, ls = item.strip().partition("/")
         ls = ls or "exact"
-        cross_k, rate, gap_at_cross = None, None, None
+        cross_k, rate, gap_at_cross, refine_secs = None, None, None, 0.0
         for K in SCHEDULE:
             res = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
-                             max_iter=K, chunk=args.chunk)
-            f64 = prob.objective_np(np.asarray(res.x))
+                             max_iter=K, chunk=args.chunk, refine=args.refine)
+            f64 = prob.objective_np(np.asarray(res.x, np.float64))
             rel = (float(f64) - f_star) / max(1.0, abs(f_star))
             rate = res.steady_iters_per_sec()
             if rel <= args.tol:
                 cross_k, gap_at_cross = K, rel
+                refine_secs = res.refine_secs
                 break
         row = {
             "config": prob.name,
@@ -83,11 +90,14 @@ def main(argv=None):
             "line_search": ls,
             "tol": args.tol,
             "f_star": f_star,
+            "refine": args.refine,
             "cross_iter_le": cross_k,  # first schedule point at/below tol
             "rel_gap_at_cross": gap_at_cross,
             "steady_iters_per_sec": None if rate is None else round(rate, 2),
+            "refine_secs": round(refine_secs, 3),
             "time_to_gap_s": (
-                None if (cross_k is None or not rate) else round(cross_k / rate, 3)
+                None if (cross_k is None or not rate)
+                else round(cross_k / rate + refine_secs, 3)
             ),
             "device": str(jax.devices()[0]),
         }

@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--max-iter", dest="max_iter", type=int, default=None)
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--refine", type=int, default=None,
+        help="post-solve f64-anchored polish rounds (breaks the fp32 ~1e-5 "
+        "true-gap floor; single-RHS unsharded unconstrained solves only)",
+    )
     p.add_argument("--mesh-block", dest="mesh_block", type=int, default=None)
     p.add_argument("--mesh-scenario", dest="mesh_scenario", type=int, default=None)
     p.add_argument("--oracle", action="store_true", default=None)
@@ -84,8 +89,9 @@ def main(argv=None):
     overrides = {
         k: getattr(args, k)
         for k in (
-            "config method line_search tol max_iter chunk unroll seed oracle profile_dir "
-            "metrics_path checkpoint_path checkpoint_every resume mesh_block mesh_scenario"
+            "config method line_search tol max_iter chunk unroll seed refine oracle "
+            "profile_dir metrics_path checkpoint_path checkpoint_every resume "
+            "mesh_block mesh_scenario"
         ).split()
         if getattr(args, k) is not None
     }
@@ -153,6 +159,7 @@ def main(argv=None):
                 checkpoint_path=cfg.checkpoint_path if mesh is None else None,
                 checkpoint_every=cfg.checkpoint_every or 0,
                 resume=bool(cfg.resume),
+                refine=cfg.refine,
             )
 
         ips = res.steady_iters_per_sec()
@@ -172,6 +179,8 @@ def main(argv=None):
         }
         if res.eq_violation is not None:
             out["eq_violation"] = res.eq_violation
+        if cfg.refine:
+            out["refine_secs"] = round(res.refine_secs, 3)
         if f_star is not None:
             out["oracle_objective"] = f_star
             f = float(np.max(np.asarray(res.objective)))

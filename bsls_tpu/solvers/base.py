@@ -98,6 +98,7 @@ class SolveResult:
     chunk_iters: np.ndarray  # cumulative iteration count per chunk boundary
     eq_violation: Optional[float] = None  # ||Cx-d||_inf (equality-constrained)
     stop_reason: str = "max_iter"  # "gap" | "stall" | "gap/stall" | "max_iter"
+    refine_secs: float = 0.0  # wall seconds spent in refine_polish (refine=K)
 
     def steady_iters_per_sec(self, skip: int = 1) -> float:
         """Solver iterations/sec from the paired (chunk_iters, chunk_times)
@@ -430,6 +431,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         s = np.add.reduceat(v, offsets)
         return v / np.repeat(np.maximum(s, 1e-300), sizes)
 
+    t_start = time.perf_counter()
     x = repair(np.asarray(res.x, np.float64))
     f_prev = float(problem.objective_np(x))
     it_extra = 0
@@ -477,6 +479,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         chunk_times=res.chunk_times,
         chunk_iters=res.chunk_iters,
         stop_reason=res.stop_reason,
+        refine_secs=time.perf_counter() - t_start,
     )
 
 

@@ -26,6 +26,7 @@ class RunConfig:
     chunk: int = 100
     unroll: int = 1  # lax.scan unroll inside a chunk
     step_size: float = 0.0
+    refine: int = 0  # post-solve f64-anchored polish rounds (solve(refine=K))
     dtype: str = "float32"
     equilibrate: bool = True
     # mesh
