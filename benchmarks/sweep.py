@@ -65,19 +65,23 @@ def main(argv=None):
     enable_compile_cache()  # fresh-process reruns replay compiles from disk
 
     import bsls_tpu as bsls
-    from bsls_tpu.models import Problem, oracle_solve, synthetic
-    from bsls_tpu.models.synthetic import with_scenarios
+    from bsls_tpu.models import Problem, synthetic
+    from bsls_tpu.models.oracle import cached_oracle_objective
+    from bsls_tpu.models.synthetic import _CONFIGS, with_scenarios
 
     prob = (
         Problem.load(args.config)
         if os.path.exists(args.config)
         else synthetic.make_config(args.config)
     )
+    suffix = "_0"
     if prob.C is not None:
         prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition, name=prob.name)
+        suffix = "_0_noC"  # must not collide with the eq oracle's cache entry
     f_star = None
     if args.oracle:
-        f_star = oracle_solve(prob, tol_gap=1e-10, max_iter=30000).objective
+        key = f"{args.config}{suffix}" if args.config in _CONFIGS else None
+        f_star = cached_oracle_objective(prob, key)
     if args.scenarios > 1:
         prob = with_scenarios(prob, args.scenarios)
 

@@ -58,17 +58,22 @@ def main(argv=None):
     enable_compile_cache()  # fresh-process reruns replay compiles from disk
 
     import bsls_tpu as bsls
-    from bsls_tpu.models import Problem, oracle_solve, synthetic
+    from bsls_tpu.models import Problem, synthetic
+    from bsls_tpu.models.oracle import cached_oracle_objective
+    from bsls_tpu.models.synthetic import _CONFIGS
 
     prob = (
         Problem.load(args.config)
         if os.path.exists(args.config)
         else synthetic.make_config(args.config)
     )
-    if prob.C is not None:
+    suffix = "_0"
+    if prob.C is not None:  # drop eq rows: this driver measures the LSQ core
         prob = bsls.Problem(A=prob.A, b=prob.b, partition=prob.partition,
                             name=prob.name)
-    f_star = oracle_solve(prob, tol_gap=1e-10, max_iter=50000).objective
+        suffix = "_0_noC"  # must not collide with the eq oracle's cache entry
+    key = f"{args.config}{suffix}" if args.config in _CONFIGS else None
+    f_star = cached_oracle_objective(prob, key)
 
     for item in args.methods.split(","):
         method, _, ls = item.strip().partition("/")

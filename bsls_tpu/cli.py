@@ -36,7 +36,7 @@ def build_parser():
     p.add_argument(
         "--refine", type=int, default=None,
         help="post-solve f64-anchored polish rounds (breaks the fp32 ~1e-5 "
-        "true-gap floor; single-RHS unsharded unconstrained solves only)",
+        "true-gap floor; unsharded unconstrained solves only)",
     )
     p.add_argument("--mesh-block", dest="mesh_block", type=int, default=None)
     p.add_argument("--mesh-scenario", dest="mesh_scenario", type=int, default=None)
@@ -109,28 +109,12 @@ def main(argv=None):
 
     f_star = None
     if cfg.oracle:
-        from bsls_tpu.models import oracle_solve_eq
+        from bsls_tpu.models.oracle import cached_oracle_objective
 
         # cache per (config, seed): the float64 oracle on large instances
-        # costs minutes and is deterministic
-        cache_dir = os.environ.get(
-            "BSLS_CACHE_DIR", os.path.join(os.getcwd(), ".bench"))
-        cache = os.path.join(cache_dir, f"oracle_{cfg.config}_{cfg.seed}.json")
-        if cfg.config in _CONFIGS and os.path.exists(cache):
-            with open(cache) as fh:
-                f_star = json.load(fh)["objective"]
-        else:
-            # eq-constrained instances route through the float64 AL oracle
-            # (sound Lagrangian dual bound); unconstrained through FISTA
-            orc = (oracle_solve_eq(prob, tol_eq=1e-9, tol_gap=1e-10)
-                   if prob.C is not None
-                   else oracle_solve(prob, tol_gap=1e-8, max_iter=25000))
-            f_star = orc.objective
-            if cfg.config in _CONFIGS:
-                os.makedirs(cache_dir, exist_ok=True)
-                with open(cache, "w") as fh:
-                    json.dump({"objective": f_star, "gap": orc.gap,
-                               "iterations": orc.iterations}, fh)
+        # costs minutes and is deterministic; ad-hoc file paths skip the cache
+        key = f"{cfg.config}_{cfg.seed}" if cfg.config in _CONFIGS else None
+        f_star = cached_oracle_objective(prob, key)
 
     mesh = None
     if cfg.mesh_block:

@@ -21,7 +21,8 @@ import numpy as np
 
 from .problem import Problem
 
-__all__ = ["OracleResult", "fw_gap_np", "oracle_solve", "oracle_solve_eq"]
+__all__ = ["OracleResult", "fw_gap_np", "oracle_solve", "oracle_solve_eq",
+           "cached_oracle_objective"]
 
 
 @dataclass
@@ -268,3 +269,44 @@ class _WrapOp:
 
     def rmatvec(self, r):
         return self.Mt @ r
+
+
+def cached_oracle_objective(
+    problem: Problem,
+    key: str | None,
+    tol_gap: float = 1e-10,
+    max_iter: int = 50_000,
+) -> float:
+    """f* for ``problem`` with an on-disk cache keyed by ``key``.
+
+    The float64 oracle on medium-scale instances costs minutes per fresh
+    process; every benchmark driver (cli --oracle, time_to_gap, sweep
+    --oracle) shares this cache so only the first process pays.  Keys
+    should be deterministic instance identities (e.g. "medium_0" =
+    config + seed); pass ``key=None`` for file-loaded or ad-hoc instances
+    to skip caching.  Eq-constrained problems route through the AL oracle
+    (sound Lagrangian dual bound), unconstrained through FISTA (FW-gap
+    certificate).
+    """
+    import json as _json
+    import os as _os
+
+    cache_dir = _os.environ.get(
+        "BSLS_CACHE_DIR", _os.path.join(_os.getcwd(), ".bench"))
+    path = None
+    if key:
+        path = _os.path.join(cache_dir, f"oracle_{key}.json")
+        if _os.path.exists(path):
+            with open(path) as fh:
+                return _json.load(fh)["objective"]
+    orc = (oracle_solve_eq(problem, tol_eq=1e-9, tol_gap=tol_gap)
+           if problem.C is not None
+           else oracle_solve(problem, tol_gap=tol_gap, max_iter=max_iter))
+    if path:
+        _os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"objective": orc.objective, "gap": orc.gap,
+                        "iterations": orc.iterations}, fh)
+        _os.replace(tmp, path)
+    return orc.objective

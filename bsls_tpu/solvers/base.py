@@ -421,56 +421,71 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     1e-12.  Rounds after convergence are cheap no-ops (first rejected
     backtrack exits).
     """
+    t_start = time.perf_counter()
     part = problem.partition
     sizes = part.sizes
-    host_b = np.asarray(problem.b, np.float64)
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    multi = np.asarray(res.x).ndim == 2
 
-    def repair(v):
-        v = np.maximum(v, 0.0)
-        s = np.add.reduceat(v, offsets)
-        return v / np.repeat(np.maximum(s, 1e-300), sizes)
+    def repair(V):  # (S, N) or (N,): clip + per-block renormalise in f64
+        V = np.maximum(V, 0.0)
+        s = np.add.reduceat(V, offsets, axis=-1)
+        return V / np.repeat(np.maximum(s, 1e-300), sizes, axis=-1)
 
-    t_start = time.perf_counter()
-    x = repair(np.asarray(res.x, np.float64))
-    f_prev = float(problem.objective_np(x))
+    X = repair(np.atleast_2d(np.asarray(res.x, np.float64)))
+    B = np.atleast_2d(np.asarray(problem.b, np.float64))
+    S = X.shape[0]
+
+    def obj_s(v, s):
+        r = problem.A.matvec(v) - B[s]
+        return 0.5 * float(r @ r)
+
+    F = np.array([obj_s(X[s], s) for s in range(S)])
     it_extra = 0
     perm_h = np.asarray(dp.perm)
     sel = perm_h >= 0
-    cg = jax.jit(_polish_cg, static_argnums=3)
+    cg = jax.jit(lambda dp_, fb, gb: jax.vmap(
+        lambda f, g: _polish_cg(dp_, f, g, cg_iters))(fb, gb))
+    inj = jax.jit(jax.vmap(lambda g: L.inject_user_grad(dp, g)))
+    ext = jax.jit(jax.vmap(
+        lambda d: L.extract_user_flat(dp, L.flat_to_padded(dp, d))))
     for _ in range(rounds):
-        r0 = problem.A.matvec(x) - host_b
-        g0 = problem.A.rmatvec(r0)
-        free = (x > 1e-12).astype(np.float64)
-        cnt = np.maximum(np.add.reduceat(free, offsets), 1.0)
-        lam = np.repeat(np.add.reduceat(g0 * free, offsets) / cnt, sizes)
-        free = np.maximum(free, ((free == 0) & (g0 < lam - 1e-12)).astype(np.float64))
+        # f64 host anchor per scenario (host matvecs are single-vector)
+        r0 = np.stack([problem.A.matvec(X[s]) for s in range(S)]) - B
+        g0 = np.stack([problem.A.rmatvec(r0[s]) for s in range(S)])
+        free = (X > 1e-12).astype(np.float64)
+        cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
+        lam = np.repeat(np.add.reduceat(g0 * free, offsets, axis=-1) / cnt,
+                        sizes, axis=-1)
+        free = np.maximum(
+            free, ((free == 0) & (g0 < lam - 1e-12)).astype(np.float64))
         # tangent-project g0 in f64 BEFORE the fp32 cast: the cast error
         # then scales with the remaining optimality gap, not with ||g||
-        cnt = np.maximum(np.add.reduceat(free, offsets), 1.0)
-        gsum = np.add.reduceat(g0 * free, offsets)
-        g0t = (g0 - np.repeat(gsum / cnt, sizes)) * free
-        free_pf = np.where(sel, free[np.maximum(perm_h, 0)], 0.0)
-        g0t_pf = L.inject_user_grad(dp, jnp.asarray(g0t, jnp.float32))
-        d_pf = cg(dp, jnp.asarray(free_pf, jnp.float32), g0t_pf, cg_iters)
-        d_user = np.asarray(
-            L.extract_user_flat(dp, L.flat_to_padded(dp, d_pf)), np.float64
-        )
+        cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
+        gsum = np.add.reduceat(g0 * free, offsets, axis=-1)
+        g0t = (g0 - np.repeat(gsum / cnt, sizes, axis=-1)) * free
+        free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
+        g0t_pf = inj(jnp.asarray(g0t, jnp.float32))
+        d_pf = cg(dp, jnp.asarray(free_pf, jnp.float32), g0t_pf)
+        D = np.asarray(ext(d_pf), np.float64)
         it_extra += cg_iters
-        # backtracked clipped step, f64 objective decides
-        t, accepted = 1.0, False
-        for _k in range(24):
-            xc = repair(x + t * d_user)
-            fc = float(problem.objective_np(xc))
-            if fc < f_prev:
-                x, f_prev, accepted = xc, fc, True
-                break
-            t *= 0.5
-        if not accepted:
+        # per-scenario backtracked clipped step, f64 objective decides
+        any_accepted = False
+        for s in range(S):
+            t = 1.0
+            for _k in range(24):
+                xc = repair(X[s] + t * D[s])
+                fc = obj_s(xc, s)
+                if fc < F[s]:
+                    X[s], F[s] = xc, fc
+                    any_accepted = True
+                    break
+                t *= 0.5
+        if not any_accepted:
             break
     return SolveResult(
-        x=x,
-        objective=np.asarray(f_prev),
+        x=X if multi else X[0],
+        objective=np.asarray(F if multi else F[0]),
         gap=res.gap,
         iterations=res.iterations + it_extra,
         converged=res.converged,
@@ -515,8 +530,8 @@ def solve(
     For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
 
     ``refine=K`` runs K active-set tangent-space polish rounds after the
-    main solve (single-RHS, unsharded, unconstrained; requires a host
-    ``Problem``): the correction to the fp32 solution is CG-solved on
+    main solve (single- or multi-RHS; unsharded, unconstrained; requires
+    a host ``Problem``): the correction to the fp32 solution is CG-solved on
     device at DELTA scale and accumulated in float64 on the host — see
     ``refine_polish``.  Plain fp32 floors the true (f64-evaluated)
     relative objective gap at ~2e-6..1e-5 on medium-scale instances;
@@ -542,7 +557,7 @@ def solve(
             "space": space != "x", "callback": callback is not None,
             "certify": certify > 0, "metrics": metrics is not None,
             "checkpoint_path": checkpoint_path is not None, "resume": resume,
-            "lipschitz": lipschitz is not None,
+            "lipschitz": lipschitz is not None, "refine": refine > 0,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:
@@ -562,6 +577,12 @@ def solve(
             raise ValueError("callback is not supported for mesh-sharded solves")
         if space != "x":
             raise ValueError("mesh-sharded solves support space='x' only")
+        if refine > 0:
+            raise ValueError(
+                "refine is not supported for mesh-sharded solves (the polish "
+                "anchor is a host float64 pass; run refine on the gathered "
+                "result via solvers.base.refine_polish if needed)"
+            )
         return solve_sharded(
             problem, mesh, method=method, tol=tol, max_iter=max_iter,
             chunk=chunk, line_search=line_search, step_size=step_size, dtype=dtype,
@@ -794,7 +815,5 @@ def solve(
                 "refine requires a host Problem (the correction anchor is "
                 "re-evaluated in float64 on the host)"
             )
-        if multi:
-            raise ValueError("refine supports single-RHS solves only")
         res = refine_polish(problem, dp, res, rounds=refine)
     return res

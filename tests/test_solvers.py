@@ -349,9 +349,28 @@ def test_refine_polish_breaks_fp32_floor():
     assert np.allclose(np.add.reduceat(x, off), 1.0, atol=1e-9)
 
 
-def test_refine_polish_rejects_unsupported():
+def test_refine_polish_multi_rhs():
+    """Multi-RHS refine: each scenario gets its own anchor/active set/step;
+    every refined objective is <= the plain one and near its own optimum."""
     prob = synthetic.with_scenarios(synthetic.tiny_dense(num_blocks=20, m=100), 3)
-    with pytest.raises(ValueError, match="single-RHS"):
+    r0 = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400)
+    f0 = prob.objective_np(np.asarray(r0.x, np.float64))
+    r1 = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400, refine=6)
+    f1 = np.asarray(r1.objective)
+    assert f1.shape == (3,)
+    assert np.all(f1 <= f0 + 1e-12)
+    # per-scenario f64 oracles pin each optimum
+    for s in range(3):
+        single = bsls.Problem(A=prob.A, b=prob.b[s], partition=prob.partition)
+        fs = oracle_solve(single, tol_gap=1e-11, max_iter=30000).objective
+        assert (f1[s] - fs) / max(fs, 1e-30) < 1e-6, (s, f1[s], fs)
+
+
+def test_refine_polish_rejects_unsupported():
+    prob = synthetic.traffic_like(seed=0, num_blocks=30)
+    if prob.C is None:
+        pytest.skip("traffic_like lost its constraints")
+    with pytest.raises(ValueError, match="refine"):
         bsls.solve(prob, method="pgd", max_iter=10, refine=1)
 
 
