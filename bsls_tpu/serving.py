@@ -197,12 +197,25 @@ class Endpoint:
                 chunk=self.chunk, dtype=self.dtype, x0=x0,
                 lipschitz=self._lip, **kw,
             )
+        # refine needs the host Problem (f64 anchor) — run the polish here,
+        # against this request's b, instead of inside solve(dp) which only
+        # sees the DeviceProblem.  The polish reuses its jitted CG across
+        # requests of the same batch width.
+        refine = int(kw.pop("refine", 0))
         dp = self._with_b(b)
-        return solve(
+        res = solve(
             dp, method=self.method, line_search=self.line_search,
             tol=tol, max_iter=max_iter, chunk=self.chunk, dtype=self.dtype,
             x0=x0, **kw,
         )
+        if refine > 0:
+            from dataclasses import replace as dc_replace
+
+            from .solvers.base import refine_polish
+
+            prob = dc_replace(self._problem, b=np.asarray(b, np.float64))
+            res = refine_polish(prob, dp, res, rounds=refine)
+        return res
 
     def warmup(self, num_scenarios: int = 1) -> None:
         """Compile the solve path for a given batch width before traffic."""

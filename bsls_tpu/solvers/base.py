@@ -390,6 +390,24 @@ def _polish_cg(dp, free_pf, g0t_pf, iters: int):
     return d
 
 
+# module-level jits: refine_polish (and serving endpoints that call it per
+# request) must hit the jit cache across calls — a fresh lambda per call
+# would re-trace every time
+@partial(jax.jit, static_argnums=3)
+def _polish_cg_batch(dp, free_b, g0t_b, iters):
+    return jax.vmap(lambda f, g: _polish_cg(dp, f, g, iters))(free_b, g0t_b)
+
+
+@jax.jit
+def _polish_inject_batch(dp, g_b):
+    return jax.vmap(lambda g: L.inject_user_grad(dp, g))(g_b)
+
+
+@jax.jit
+def _polish_extract_batch(dp, d_b):
+    return jax.vmap(lambda d: L.extract_user_flat(dp, L.flat_to_padded(dp, d)))(d_b)
+
+
 def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                   cg_iters: int = 30) -> "SolveResult":
     """Active-set tangent-space polish (fp32 iterative refinement).
@@ -444,11 +462,6 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     it_extra = 0
     perm_h = np.asarray(dp.perm)
     sel = perm_h >= 0
-    cg = jax.jit(lambda dp_, fb, gb: jax.vmap(
-        lambda f, g: _polish_cg(dp_, f, g, cg_iters))(fb, gb))
-    inj = jax.jit(jax.vmap(lambda g: L.inject_user_grad(dp, g)))
-    ext = jax.jit(jax.vmap(
-        lambda d: L.extract_user_flat(dp, L.flat_to_padded(dp, d))))
     for _ in range(rounds):
         # f64 host anchor per scenario (host matvecs are single-vector)
         r0 = np.stack([problem.A.matvec(X[s]) for s in range(S)]) - B
@@ -465,9 +478,10 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         gsum = np.add.reduceat(g0 * free, offsets, axis=-1)
         g0t = (g0 - np.repeat(gsum / cnt, sizes, axis=-1)) * free
         free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
-        g0t_pf = inj(jnp.asarray(g0t, jnp.float32))
-        d_pf = cg(dp, jnp.asarray(free_pf, jnp.float32), g0t_pf)
-        D = np.asarray(ext(d_pf), np.float64)
+        g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
+        d_pf = _polish_cg_batch(dp, jnp.asarray(free_pf, jnp.float32),
+                                g0t_pf, cg_iters)
+        D = np.asarray(_polish_extract_batch(dp, d_pf), np.float64)
         it_extra += cg_iters
         # per-scenario backtracked clipped step, f64 objective decides
         any_accepted = False

@@ -38,6 +38,22 @@ def test_endpoint_batch_and_warm_start():
     assert np.all(np.asarray(res2.objective) <= np.asarray(res.objective) + 1e-5)
 
 
+def test_endpoint_refine_requests():
+    """Per-request refine=K: the endpoint polishes against the request's own
+    b (f64 host anchor) and the result lands well below the fp32 floor."""
+    prob = synthetic.tiny_dense(seed=3, num_blocks=20, dim=6, m=150)
+    ep = Endpoint(prob, method="lbfgs", chunk=100)
+    rng = np.random.default_rng(4)
+    x_true = synthetic.random_block_x(rng, prob.partition.sizes)
+    b = prob.A.matvec(x_true) + 1e-3 * rng.standard_normal(150)
+    single = bsls.Problem(A=prob.A, b=b, partition=prob.partition)
+    orc = oracle_solve(single, tol_gap=1e-11, max_iter=20000)
+    res = ep.solve(b, tol=0.0, max_iter=600, refine=6)
+    rel = (float(res.objective) - orc.objective) / max(orc.objective, 1e-30)
+    assert rel < 1e-8, rel
+    assert res.refine_secs > 0.0
+
+
 def test_endpoint_rejects_bad_shapes():
     prob = synthetic.tiny_dense(seed=3, num_blocks=5, dim=4, m=30)
     ep = Endpoint(prob)
