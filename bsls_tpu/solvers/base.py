@@ -571,7 +571,8 @@ def solve(
             "space": space != "x", "callback": callback is not None,
             "certify": certify > 0, "metrics": metrics is not None,
             "checkpoint_path": checkpoint_path is not None, "resume": resume,
-            "lipschitz": lipschitz is not None, "refine": refine > 0,
+            "lipschitz": lipschitz is not None,
+            "refine+mesh": refine > 0 and mesh is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:
@@ -582,7 +583,7 @@ def solve(
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
-            unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0,
+            unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, refine=refine,
         )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded

@@ -72,6 +72,7 @@ def solve_equality_constrained(
     checkpoint_every: int = 0,
     checkpoint_keep: int = 0,
     resume: bool = False,
+    refine: int = 0,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
@@ -313,6 +314,71 @@ def solve_equality_constrained(
         ok_streak = ok_streak + 1 if (viol <= eq_tol and result.converged) else 0
         if ok_streak >= 2:
             break
+
+    # refine=K: float64 augmented-Lagrangian finishing outers.  Each round
+    # solves the CURRENT stacked subproblem to f64 precision with the
+    # tangent-space polish (solvers.base.refine_polish — CG on the
+    # active-set subspace of [A; sqrt(rho) C], anchored in f64), then
+    # updates lam in f64.  Scope (measured, grid-traffic experiments): this
+    # removes the fp32 PRECISION floor once the AL has essentially
+    # converged — consistent instances go from viol ~1e-7 to ~5e-13 with
+    # near-zero objective — but it does NOT rescue an AL that stopped far
+    # from the constrained optimum on ill-conditioned instances (the
+    # f64 oracle needs ~20k iterations there; a direct KKT active-set
+    # polish was prototyped and rejected: from an fp32 support the
+    # active-set walk degenerates — blocked steps at ~1e-8 coords, 100+
+    # pivots).  Use models.oracle_solve_eq for certified optima on those.
+    # Single-device only (the polish CG runs on the cached stacked
+    # DeviceProblem).
+    if refine > 0:
+        if mesh is not None:
+            raise ValueError(
+                "refine is not supported for mesh-sharded eq solves")
+        from dataclasses import replace as dc_replace
+
+        from .base import SolveResult, refine_polish
+
+        dp_stacked = dp_cache  # single-device cache IS the DeviceProblem
+        x = np.asarray(result.x, np.float64)
+        # feasibility guard: the exact subproblem optimum can be LESS
+        # feasible than the fp32 AL's incidental iterate (the AL trades
+        # violation against objective at finite rho).  Snapshot the
+        # pre-refine state and revert wholesale if the finishing rounds end
+        # with a worse violation — refine must never trade feasibility away.
+        x_before, lam_before, viol_before = x.copy(), lam.copy(), viol
+        for _ in range(refine):
+            sr = np.sqrt(rho)
+            b_bot = sr * (d - lam / rho)
+            b_stacked = np.concatenate([b, b_bot], axis=-1)
+            host_stacked = Problem(
+                A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
+                b=b_stacked,
+                partition=problem.partition,
+                name=problem.name + "+eq",
+            )
+            dp_pol = dc_replace(
+                dp_stacked,
+                A=dc_replace(dp_stacked.A,
+                             bottom_scale=jnp.asarray(sr, dp_stacked.b.dtype)),
+                b=jnp.asarray(b_stacked, dp_stacked.b.dtype),
+            )
+            seed = dc_replace(result, x=x)
+            polished = refine_polish(host_stacked, dp_pol, seed, rounds=2)
+            xn = np.asarray(polished.x, np.float64)
+            total_iters = total_iters + (polished.iterations - seed.iterations)
+            if not np.any(np.abs(xn - x) > 0):
+                break  # polish rejected everything: do NOT drift lam
+            x = xn
+            cx_d = _c_matvec(C, x) - d
+            lam = lam + rho * cx_d
+            dref = max(1.0, float(np.abs(d).max())) if p else 1.0
+            viol = float(np.abs(cx_d).max()) / dref if p else 0.0
+            if viol <= 1e-12:
+                break
+        if viol > viol_before:
+            x, lam, viol = x_before, lam_before, viol_before
+        result = dc_replace(result, x=x,
+                            refine_secs=result.refine_secs + polished.refine_secs)
 
     # report the ORIGINAL objective (not the augmented one)
     x = np.asarray(result.x, np.float64)

@@ -366,12 +366,33 @@ def test_refine_polish_multi_rhs():
         assert (f1[s] - fs) / max(fs, 1e-30) < 1e-6, (s, f1[s], fs)
 
 
+def test_refine_polish_eq_constrained():
+    """refine=K on an eq-constrained solve runs float64 AL finishing outers
+    (polish the stacked subproblem, update multipliers in f64): both the
+    true objective gap and the violation must land far below fp32."""
+    from bsls_tpu.models.oracle import oracle_solve_eq
+
+    prob = synthetic.traffic_like(seed=0, num_blocks=40, m=300, num_eq=12)
+    orc = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-11)
+    r0 = bsls.solve(prob, method="lbfgs", tol=1e-8, max_iter=4000)
+    r1 = bsls.solve(prob, method="lbfgs", tol=1e-8, max_iter=4000, refine=6)
+    f0 = float(prob.objective_np(np.asarray(r0.x, np.float64)))
+    f1 = float(r1.objective)
+    ref = max(1.0, abs(orc.objective))
+    assert (f1 - orc.objective) / ref < 1e-8, (f1, f0, orc.objective)
+    assert r1.eq_violation <= max(1e-9, 0.1 * r0.eq_violation), (
+        r1.eq_violation, r0.eq_violation)
+
+
 def test_refine_polish_rejects_unsupported():
-    prob = synthetic.traffic_like(seed=0, num_blocks=30)
-    if prob.C is None:
-        pytest.skip("traffic_like lost its constraints")
+    import jax
+
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.tiny_dense(num_blocks=16, m=80)
+    mesh = make_mesh(block=len(jax.devices()))
     with pytest.raises(ValueError, match="refine"):
-        bsls.solve(prob, method="pgd", max_iter=10, refine=1)
+        bsls.solve(prob, method="pgd", max_iter=10, refine=1, mesh=mesh)
 
 
 def test_steady_iters_per_sec_spans_syncs():
