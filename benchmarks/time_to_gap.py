@@ -42,6 +42,15 @@ def main(argv=None):
         "(res.refine_secs) is ADDED to time_to_gap_s, so the number stays "
         "honest — fp32 alone floors at ~2e-6..1e-5 true gap on medium",
     )
+    p.add_argument(
+        "--scenarios", type=int, default=1,
+        help="S>1 measures the HONEST multi-RHS metric: time until EVERY "
+        "scenario's f64-evaluated gap is <= tol.  Per-scenario references "
+        "come from a deep refined solve certified by the float64 "
+        "Frank-Wolfe gap at each reference point (running S independent "
+        "50k-iteration CPU oracles would cost hours; the certificate makes "
+        "the shortcut sound) and are cached like the single-RHS oracle",
+    )
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -73,7 +82,15 @@ def main(argv=None):
                             name=prob.name)
         suffix = "_0_noC"  # must not collide with the eq oracle's cache entry
     key = f"{args.config}{suffix}" if args.config in _CONFIGS else None
-    f_star = cached_oracle_objective(prob, key)
+    S = args.scenarios
+    ref_cert = None
+    if S > 1:
+        from bsls_tpu.models.synthetic import with_scenarios
+
+        prob = with_scenarios(prob, S)
+        f_star, ref_cert = _multi_rhs_reference(bsls, prob, key, S)
+    else:
+        f_star = np.asarray(cached_oracle_objective(prob, key))
 
     for item in args.methods.split(","):
         method, _, ls = item.strip().partition("/")
@@ -82,11 +99,11 @@ def main(argv=None):
         for K in SCHEDULE:
             res = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
                              max_iter=K, chunk=args.chunk, refine=args.refine)
-            f64 = prob.objective_np(np.asarray(res.x, np.float64))
-            rel = (float(f64) - f_star) / max(1.0, abs(f_star))
+            f64 = np.asarray(prob.objective_np(np.asarray(res.x, np.float64)))
+            rel = (f64 - f_star) / np.maximum(1.0, np.abs(f_star))
             rate = res.steady_iters_per_sec()
-            if rel <= args.tol:
-                cross_k, gap_at_cross = K, rel
+            if np.all(rel <= args.tol):  # S>1: EVERY scenario must cross
+                cross_k, gap_at_cross = K, float(np.max(rel))
                 refine_secs = res.refine_secs
                 break
         row = {
@@ -94,11 +111,13 @@ def main(argv=None):
             "method": method,
             "line_search": ls,
             "tol": args.tol,
-            "f_star": f_star,
+            "f_star": f_star.tolist() if S > 1 else float(f_star),
+            "scenarios": S,
             "refine": args.refine,
             "cross_iter_le": cross_k,  # first schedule point at/below tol
-            "rel_gap_at_cross": gap_at_cross,
+            "rel_gap_at_cross": gap_at_cross,  # worst scenario for S>1
             "steady_iters_per_sec": None if rate is None else round(rate, 2),
+            "agg_iters_per_sec": None if rate is None else round(S * rate, 2),
             "refine_secs": round(refine_secs, 3),
             "time_to_gap_s": (
                 None if (cross_k is None or not rate)
@@ -106,10 +125,54 @@ def main(argv=None):
             ),
             "device": str(jax.devices()[0]),
         }
+        if ref_cert is not None:
+            row["ref_fw_gap_rel"] = ref_cert  # soundness of the S>1 reference
         print(json.dumps(row), flush=True)
         if args.out:
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
+
+
+def _multi_rhs_reference(bsls, prob, key: str | None, S: int):
+    """Per-scenario reference objectives for the honest multi-RHS metric.
+
+    A deep fp32 solve + many f64 polish rounds converges each scenario to
+    ~1e-12 of its optimum (validated against the 50k-iteration f64 oracle
+    single-RHS); soundness is then CERTIFIED per scenario by the float64
+    Frank-Wolfe duality gap at the reference point (f_ref - f* <= gap), and
+    the worst gap/max(1,|f_ref|) ships in the output row as ref_fw_gap_rel.
+    Cached alongside the single-RHS oracle entries.
+    """
+    import json as _json
+
+    from bsls_tpu.models.oracle import fw_gap_np
+
+    cache_dir = os.environ.get(
+        "BSLS_CACHE_DIR", os.path.join(os.getcwd(), ".bench"))
+    path = os.path.join(cache_dir, f"oracle_{key}_x{S}.json") if key else None
+    if path and os.path.exists(path):
+        with open(path) as fh:
+            d = _json.load(fh)
+        return np.asarray(d["objectives"]), d["cert_rel"]
+    res = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=1500, chunk=100,
+                     refine=12)
+    X = np.asarray(res.x, np.float64)
+    B = np.asarray(prob.b, np.float64)
+    sizes = prob.partition.sizes
+    f_ref = np.empty(S)
+    cert = 0.0
+    for s in range(S):
+        r = prob.A.matvec(X[s]) - B[s]
+        f_ref[s] = 0.5 * float(r @ r)
+        g = prob.A.rmatvec(r)
+        cert = max(cert, fw_gap_np(g, X[s], sizes) / max(1.0, abs(f_ref[s])))
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"objectives": f_ref.tolist(), "cert_rel": cert}, fh)
+        os.replace(tmp, path)
+    return f_ref, cert
 
 
 if __name__ == "__main__":
