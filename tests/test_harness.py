@@ -281,3 +281,26 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     monkeypatch.setenv("BSLS_NO_COMPILE_CACHE", "1")
     assert cc.enable_compile_cache() is False
     importlib.reload(cc)  # leave a fresh module state for other tests
+
+
+@pytest.mark.slow
+def test_time_to_gap_multi_rhs(tmp_path):
+    """The honest multi-RHS metric: --scenarios S builds certified
+    per-scenario references and requires EVERY scenario to cross tol."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "time_to_gap.py"),
+         "--config", "tiny", "--methods", "pgd/bb", "--scenarios", "3",
+         "--refine", "2", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "BSLS_CACHE_DIR": str(tmp_path)},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["scenarios"] == 3 and len(row["f_star"]) == 3
+    # reference soundness: the f64 FW-gap certificate must pin each
+    # per-scenario reference far below the tolerance being measured
+    assert row["ref_fw_gap_rel"] < 1e-7
+    assert row["cross_iter_le"] is not None
+    assert row["rel_gap_at_cross"] <= row["tol"]
+    assert (tmp_path / "oracle_tiny_0_x3.json").exists()
