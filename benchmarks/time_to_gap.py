@@ -102,15 +102,17 @@ def main(argv=None):
         warm = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
                           max_iter=8 * args.chunk, chunk=args.chunk)
         rate = warm.steady_iters_per_sec()
-        cross_k, gap_at_cross, refine_secs = None, None, 0.0
+        cross_k, gap_at_cross, refine_secs, cert = None, None, 0.0, None
         for K in SCHEDULE:
             res = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
-                             max_iter=K, chunk=args.chunk, refine=args.refine)
+                             max_iter=K, chunk=args.chunk, refine=args.refine,
+                             refine_tol=args.tol if args.refine else None)
             f64 = np.asarray(prob.objective_np(np.asarray(res.x, np.float64)))
             rel = (f64 - f_star) / np.maximum(1.0, np.abs(f_star))
             if np.all(rel <= args.tol):  # S>1: EVERY scenario must cross
                 cross_k, gap_at_cross = K, float(np.max(rel))
                 refine_secs = res.refine_secs
+                cert = res.refine_fw_gap
                 break
         row = {
             "config": prob.name,
@@ -131,6 +133,8 @@ def main(argv=None):
             ),
             "device": str(jax.devices()[0]),
         }
+        if cert is not None:
+            row["refine_fw_gap"] = cert  # f64 FW certificate of the iterate
         if ref_cert is not None:
             row["ref_fw_gap_rel"] = ref_cert  # soundness of the S>1 reference
         print(json.dumps(row), flush=True)

@@ -38,6 +38,12 @@ def build_parser():
         help="post-solve f64-anchored polish rounds (breaks the fp32 ~1e-5 "
         "true-gap floor; unsharded unconstrained solves only)",
     )
+    p.add_argument(
+        "--refine-tol", dest="refine_tol", type=float, default=None,
+        help="certified adaptive refine: polish until the float64 FW "
+        "duality gap certifies this relative gap (--refine caps rounds); "
+        "the certificate is reported as refine_fw_gap",
+    )
     p.add_argument("--mesh-block", dest="mesh_block", type=int, default=None)
     p.add_argument("--mesh-scenario", dest="mesh_scenario", type=int, default=None)
     p.add_argument("--oracle", action="store_true", default=None)
@@ -89,7 +95,7 @@ def main(argv=None):
     overrides = {
         k: getattr(args, k)
         for k in (
-            "config method line_search tol max_iter chunk unroll seed refine oracle "
+            "config method line_search tol max_iter chunk unroll seed refine refine_tol oracle "
             "profile_dir metrics_path checkpoint_path checkpoint_every resume "
             "mesh_block mesh_scenario"
         ).split()
@@ -144,6 +150,7 @@ def main(argv=None):
                 checkpoint_every=cfg.checkpoint_every or 0,
                 resume=bool(cfg.resume),
                 refine=cfg.refine,
+                refine_tol=cfg.refine_tol,
             )
 
         ips = res.steady_iters_per_sec()
@@ -165,6 +172,8 @@ def main(argv=None):
             out["eq_violation"] = res.eq_violation
         if cfg.refine:
             out["refine_secs"] = round(res.refine_secs, 3)
+        if res.refine_fw_gap is not None:
+            out["refine_fw_gap"] = res.refine_fw_gap
         if f_star is not None:
             out["oracle_objective"] = f_star
             f = float(np.max(np.asarray(res.objective)))

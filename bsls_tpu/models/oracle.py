@@ -58,6 +58,12 @@ class _ScipyOp:
     def rmatvec(self, r):
         return self.Mt @ r
 
+    def matmat(self, X):  # (S, n) -> (S, m): one SpMM for all scenarios
+        return (self.M @ X.T).T
+
+    def rmatmat(self, R):  # (S, m) -> (S, n)
+        return (self.Mt @ R.T).T
+
 
 def _fast_operator(A):
     from .problem import EllMatrix
@@ -269,6 +275,12 @@ class _WrapOp:
 
     def rmatvec(self, r):
         return self.Mt @ r
+
+    def matmat(self, X):  # (S, n) -> (S, m): one SpMM for all scenarios
+        return (self.M @ X.T).T
+
+    def rmatmat(self, R):  # (S, m) -> (S, n)
+        return (self.Mt @ R.T).T
 
 
 def cached_oracle_objective(

@@ -202,6 +202,7 @@ class Endpoint:
         # sees the DeviceProblem.  The polish reuses its jitted CG across
         # requests of the same batch width.
         refine = int(kw.pop("refine", 0))
+        refine_tol = kw.pop("refine_tol", None)
         dp = self._with_b(b)
         res = solve(
             dp, method=self.method, line_search=self.line_search,
@@ -214,7 +215,8 @@ class Endpoint:
             from .solvers.base import refine_polish
 
             prob = dc_replace(self._problem, b=np.asarray(b, np.float64))
-            res = refine_polish(prob, dp, res, rounds=refine)
+            res = refine_polish(prob, dp, res, rounds=refine,
+                                target_rel_gap=refine_tol)
         return res
 
     def warmup(self, num_scenarios: int = 1) -> None:

@@ -99,6 +99,10 @@ class SolveResult:
     eq_violation: Optional[float] = None  # ||Cx-d||_inf (equality-constrained)
     stop_reason: str = "max_iter"  # "gap" | "stall" | "gap/stall" | "max_iter"
     refine_secs: float = 0.0  # wall seconds spent in refine_polish (refine=K)
+    # float64 FW duality-gap certificate of the polished iterate, relative
+    # (gap / max(1, |f|), worst scenario): f - f* <= refine_fw_gap is SOUND
+    # with no oracle.  Set by refine_polish when target_rel_gap is given.
+    refine_fw_gap: Optional[float] = None
 
     def steady_iters_per_sec(self, skip: int = 1) -> float:
         """Solver iterations/sec from the paired (chunk_iters, chunk_times)
@@ -409,7 +413,8 @@ def _polish_extract_batch(dp, d_b):
 
 
 def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
-                  cg_iters: int = 30) -> "SolveResult":
+                  cg_iters: int = 30,
+                  target_rel_gap: float | None = None) -> "SolveResult":
     """Active-set tangent-space polish (fp32 iterative refinement).
 
     fp32 floors the true (f64-evaluated) relative objective gap at ~2e-6
@@ -438,8 +443,30 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     relative gaps are ~100x harder in absolute terms) takes ~8 rounds to
     1e-12.  Rounds after convergence are cheap no-ops (first rejected
     backtrack exits).
+
+    ``target_rel_gap``: certified adaptive mode.  Each round's f64 anchor
+    already pays for the gradient, so the float64 Frank-Wolfe duality gap
+    (a SOUND bound: f - f* <= gap, no oracle needed) is computed for free;
+    the polish stops as soon as every scenario's gap / max(1, |f|) is at
+    or below the target, and the certificate ships on the result as
+    ``refine_fw_gap`` (worst scenario).  ``rounds`` becomes the cap.
     """
     t_start = time.perf_counter()
+    from ..models.oracle import _fast_operator
+
+    op = _fast_operator(problem.A)  # CSR matvecs: the EllMatrix host
+    # bincount path is ~10x slower and the polish does hundreds of them
+
+    def _mm(Xm):  # (S, n) -> (S, m)
+        if hasattr(op, "matmat"):
+            return op.matmat(Xm)
+        return np.stack([op.matvec(v) for v in Xm])
+
+    def _rmm(Rm):  # (S, m) -> (S, n)
+        if hasattr(op, "rmatmat"):
+            return op.rmatmat(Rm)
+        return np.stack([op.rmatvec(v) for v in Rm])
+
     part = problem.partition
     sizes = part.sizes
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
@@ -455,17 +482,31 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     S = X.shape[0]
 
     def obj_s(v, s):
-        r = problem.A.matvec(v) - B[s]
+        r = op.matvec(v) - B[s]
         return 0.5 * float(r @ r)
 
     F = np.array([obj_s(X[s], s) for s in range(S)])
     it_extra = 0
     perm_h = np.asarray(dp.perm)
     sel = perm_h >= 0
+    cert = None  # f64 FW-gap certificate of the CURRENT X (relative, worst s)
+
+    def _cert(g0_):
+        from ..models.oracle import fw_gap_np
+
+        return max(
+            fw_gap_np(g0_[s], X[s], sizes) / max(1.0, abs(F[s]))
+            for s in range(S)
+        )
+
     for _ in range(rounds):
-        # f64 host anchor per scenario (host matvecs are single-vector)
-        r0 = np.stack([problem.A.matvec(X[s]) for s in range(S)]) - B
-        g0 = np.stack([problem.A.rmatvec(r0[s]) for s in range(S)])
+        # f64 host anchor, one SpMM across scenarios
+        r0 = _mm(X) - B
+        g0 = _rmm(r0)
+        if target_rel_gap is not None:
+            cert = _cert(g0)
+            if cert <= target_rel_gap:
+                break
         free = (X > 1e-12).astype(np.float64)
         cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
         lam = np.repeat(np.add.reduceat(g0 * free, offsets, axis=-1) / cnt,
@@ -497,6 +538,11 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 t *= 0.5
         if not any_accepted:
             break
+        cert = None  # steps moved X: the round-start certificate is stale
+    if target_rel_gap is not None and cert is None:
+        # certify the final iterate (one extra f64 anchor pair)
+        g0 = _rmm(_mm(X) - B)
+        cert = _cert(g0)
     return SolveResult(
         x=X if multi else X[0],
         objective=np.asarray(F if multi else F[0]),
@@ -509,6 +555,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         chunk_iters=res.chunk_iters,
         stop_reason=res.stop_reason,
         refine_secs=time.perf_counter() - t_start,
+        refine_fw_gap=cert,
     )
 
 
@@ -537,6 +584,7 @@ def solve(
     lipschitz: Optional[float] = None,
     lbfgs_mem: int = 8,
     refine: int = 0,
+    refine_tol: Optional[float] = None,
 ) -> SolveResult:
     """Solve a block-simplex LSQ instance (single-process entry point).
 
@@ -551,7 +599,11 @@ def solve(
     relative objective gap at ~2e-6..1e-5 on medium-scale instances;
     three polish rounds (~90 extra iteration-cost units) push through
     1e-6 (measured: 8.5e-6 -> 4.8e-7, BASELINE.md).  The returned ``x``
-    is float64 and ``objective`` is its f64 value.
+    is float64 and ``objective`` is its f64 value.  ``refine_tol`` makes
+    the polish adaptive AND certified: rounds stop as soon as the float64
+    FW duality gap certifies every scenario to the target relative gap
+    (``refine`` caps the rounds), and the certificate is returned as
+    ``res.refine_fw_gap``.
 
     ``lipschitz`` skips the on-device power iteration and uses the given
     ||A||_2^2 bound for the 1/L trial step (the augmented-Lagrangian outer
@@ -573,6 +625,7 @@ def solve(
             "checkpoint_path": checkpoint_path is not None, "resume": resume,
             "lipschitz": lipschitz is not None,
             "refine+mesh": refine > 0 and mesh is not None,
+            "refine_tol": refine_tol is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:
@@ -830,5 +883,6 @@ def solve(
                 "refine requires a host Problem (the correction anchor is "
                 "re-evaluated in float64 on the host)"
             )
-        res = refine_polish(problem, dp, res, rounds=refine)
+        res = refine_polish(problem, dp, res, rounds=refine,
+                            target_rel_gap=refine_tol)
     return res

@@ -27,6 +27,7 @@ class RunConfig:
     unroll: int = 1  # lax.scan unroll inside a chunk
     step_size: float = 0.0
     refine: int = 0  # post-solve f64-anchored polish rounds (solve(refine=K))
+    refine_tol: float | None = None  # certified adaptive refine target
     dtype: str = "float32"
     equilibrate: bool = True
     # mesh

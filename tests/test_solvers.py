@@ -384,6 +384,35 @@ def test_refine_polish_eq_constrained():
         r1.eq_violation, r0.eq_violation)
 
 
+def test_refine_tol_certificate_is_sound():
+    """refine_tol: the f64 FW duality-gap certificate on the result must
+    BOUND the true gap vs the deep oracle (f - f* <= cert).  On
+    ill-conditioned instances the certificate is loose (it can stall
+    orders above the true gap — BASELINE.md), so the polish may run to
+    the rounds cap; soundness, not tightness, is the contract."""
+    prob = synthetic.medium_sparse(seed=0, num_blocks=400, m=3000)
+    orc = oracle_solve(prob, tol_gap=1e-10, max_iter=40000)
+    res = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=1200, chunk=100,
+                     refine=8, refine_tol=1e-6)
+    assert res.refine_fw_gap is not None
+    true_rel = (float(res.objective) - orc.objective) / max(
+        1.0, abs(orc.objective))
+    assert true_rel <= res.refine_fw_gap + 1e-12  # certificate is sound
+
+
+def test_refine_tol_stops_early_when_certified():
+    """On a well-conditioned instance the certificate tightens with the
+    iterate, so a generous target stops the polish before the rounds cap
+    (observable via iterations: each executed round adds cg_iters)."""
+    prob = synthetic.tiny_dense(seed=1, num_blocks=20, dim=6, m=150)
+    base = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400)
+    res = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400,
+                     refine=20, refine_tol=1e-7)
+    rounds_run = (res.iterations - base.iterations) / 30  # cg_iters=30
+    assert res.refine_fw_gap is not None and res.refine_fw_gap <= 1e-7
+    assert rounds_run < 20, rounds_run
+
+
 def test_refine_polish_rejects_unsupported():
     import jax
 
