@@ -149,6 +149,30 @@ class Endpoint:
                 raise ValueError(f"b last dim {b.shape[-1]} != m={self._m}")
             prob = dc_replace(self._problem, b=b)
             warm = self._eq_warm.get(b.shape[:-1]) if self.warm_start else None
+            # Sensitivity fast path (streaming requests): from the previous
+            # request's CONVERGED (x, lam, rho), run float64 AL finishing
+            # outers only — no fp32 inner solves.  Certificate-gated: a
+            # None return (no cached operator, mesh cache, or final
+            # violation above tol) falls through to the full AL solve.
+            # Opt out per request with sensitivity=False (e.g. when
+            # consecutive b's are NOT near each other).
+            sens = kw.pop("sensitivity", True)
+            if (sens and warm is not None and x0 is None
+                    and self.mesh is None and "rho" in warm):
+                from .solvers.eq_constrained import solve_eq_sensitivity
+
+                fast = solve_eq_sensitivity(
+                    prob, warm["x"], warm["lam"], warm["rho"],
+                    op_cache=self._eq_ops, method=self.method,
+                    line_search=self.line_search, dtype=self.dtype,
+                    eq_tol=kw.get("eq_tol", tol),
+                )
+                if fast is not None:
+                    self._eq_warm[b.shape[:-1]] = {
+                        "lam": fast.eq_lam, "rho": fast.eq_rho,
+                        "x": np.asarray(fast.x),
+                    }
+                    return fast
             if warm is not None and x0 is None:
                 # warm-start lam and x but NOT the grown rho: with lam near
                 # the optimal multipliers a small penalty already satisfies

@@ -238,3 +238,39 @@ def test_endpoint_eq_warm_multiplier_cache():
     r2c = ep_cold.solve(b1, tol=1e-7, max_iter=4000)
     assert r2.iterations <= r2c.iterations, (r2.iterations, r2c.iterations)
     assert float(r2.objective) <= float(r2c.objective) * 1.5 + 1e-6
+
+
+def test_endpoint_eq_sensitivity_fast_path():
+    """Streaming eq requests take the SENSITIVITY fast path: from the
+    previous request's converged (x, lam, rho), only float64 AL finishing
+    outers run (no fp32 inner solves).  Certificate-gated: the result must
+    hold the constraints and match a cold full solve's objective; a
+    far-away RHS must still return a correct (possibly fallback) result."""
+    import dataclasses
+
+    from bsls_tpu.models import synthetic
+
+    prob = synthetic.traffic_like(num_blocks=30, m=150, num_eq=8, noise=0.05)
+    prob = dataclasses.replace(prob, d=np.asarray(prob.d) * 1.05 + 0.01)
+    ep = Endpoint(prob, method="apgd", chunk=50)
+    b0 = np.asarray(prob.b)
+    r1 = ep.solve(b0, tol=1e-7, max_iter=4000)
+    assert r1.converged and ep._eq_warm
+    rng = np.random.default_rng(1)
+    b1 = b0 * (1.0 + 2e-2 * rng.standard_normal(b0.shape))
+    r2 = ep.solve(b1, tol=1e-7, max_iter=4000)
+    assert r2.stop_reason == "sensitivity", r2.stop_reason
+    assert r2.converged and r2.eq_violation <= 1e-7
+    # objective parity vs a cold full AL solve of the same request
+    cold = Endpoint(prob, method="apgd", chunk=50, warm_start=False)
+    r2c = cold.solve(b1, tol=1e-7, max_iter=4000)
+    f_fast, f_cold = float(r2.objective), float(r2c.objective)
+    assert f_fast <= f_cold + 1e-6 * max(1.0, abs(f_cold)), (f_fast, f_cold)
+    # opt-out flag forces the full path
+    r3 = ep.solve(b1, tol=1e-7, max_iter=4000, sensitivity=False)
+    assert r3.stop_reason != "sensitivity"
+    # the fast result keeps feeding the warm cache: a third nearby request
+    # still fast-paths
+    b2 = b1 * (1.0 + 1e-2 * rng.standard_normal(b0.shape))
+    r4 = ep.solve(b2, tol=1e-7, max_iter=4000)
+    assert r4.stop_reason == "sensitivity" and r4.eq_violation <= 1e-7
