@@ -150,21 +150,20 @@ class Endpoint:
             prob = dc_replace(self._problem, b=b)
             warm = self._eq_warm.get(b.shape[:-1]) if self.warm_start else None
             # Sensitivity fast path (streaming requests): from the previous
-            # request's CONVERGED (x, lam, rho), run float64 AL finishing
-            # outers only — no fp32 inner solves.  Certificate-gated: a
-            # None return (no cached operator, mesh cache, or final
-            # violation above tol) falls through to the full AL solve.
-            # Opt out per request with sensitivity=False (e.g. when
-            # consecutive b's are NOT near each other).
+            # request's CONVERGED x, run warm-started block principal
+            # pivoting in float64 on the host — no fp32 inner solves at
+            # all.  Certificate-gated: a None return (instance too large
+            # for host matvecs, round cap, or final violation above tol)
+            # falls through to the full AL solve.  Opt out per request
+            # with sensitivity=False (e.g. when consecutive b's are NOT
+            # near each other).
             sens = kw.pop("sensitivity", True)
             if (sens and warm is not None and x0 is None
                     and self.mesh is None and "rho" in warm):
                 from .solvers.eq_constrained import solve_eq_sensitivity
 
                 fast = solve_eq_sensitivity(
-                    prob, warm["x"], warm["lam"], warm["rho"],
-                    op_cache=self._eq_ops, method=self.method,
-                    line_search=self.line_search, dtype=self.dtype,
+                    prob, warm["x"], rho=warm["rho"],
                     eq_tol=kw.get("eq_tol", tol),
                 )
                 if fast is not None:

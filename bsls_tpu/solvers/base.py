@@ -450,6 +450,10 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     the polish stops as soon as every scenario's gap / max(1, |f|) is at
     or below the target, and the certificate ships on the result as
     ``refine_fw_gap`` (worst scenario).  ``rounds`` becomes the cap.
+
+    ``dp=None``: host-only mode — the CG correction runs on the host in
+    float64 instead of on device (used for mesh-sharded results, which are
+    gathered before polishing; no single-device DeviceProblem exists).
     """
     t_start = time.perf_counter()
     from ..models.oracle import _fast_operator
@@ -487,8 +491,9 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
 
     F = np.array([obj_s(X[s], s) for s in range(S)])
     it_extra = 0
-    perm_h = np.asarray(dp.perm)
-    sel = perm_h >= 0
+    if dp is not None:
+        perm_h = np.asarray(dp.perm)
+        sel = perm_h >= 0
     cert = None  # f64 FW-gap certificate of the CURRENT X (relative, worst s)
 
     def _cert(g0_):
@@ -518,11 +523,42 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
         gsum = np.add.reduceat(g0 * free, offsets, axis=-1)
         g0t = (g0 - np.repeat(gsum / cnt, sizes, axis=-1)) * free
-        free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
-        g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
-        d_pf = _polish_cg_batch(dp, jnp.asarray(free_pf, jnp.float32),
-                                g0t_pf, cg_iters)
-        D = np.asarray(_polish_extract_batch(dp, d_pf), np.float64)
+        if dp is None:
+            # host float64 CG on the same tangent-subspace normal equations
+            # (P A^T A P d = -P g0).  Used when no single-device
+            # DeviceProblem exists — mesh-sharded results are gathered to
+            # the host and polished here; batched over scenarios with
+            # per-scenario CG scalars.  f64 throughout, so the correction
+            # is exact to the face (the device path resolves it to fp32
+            # at delta scale — equivalent in practice, see docstring).
+            def tproj(V):
+                V = V * free
+                sm = np.add.reduceat(V, offsets, axis=-1)
+                return (V - np.repeat(sm / cnt, sizes, axis=-1)) * free
+
+            D = np.zeros_like(g0t)
+            R = -g0t  # g0t = P g0 already
+            Pd = R.copy()
+            rs = np.einsum("sn,sn->s", R, R)
+            rs0 = rs.copy()
+            for _ in range(cg_iters):
+                if float(np.max(rs / np.maximum(rs0, 1e-300))) <= 1e-26:
+                    break
+                HP = tproj(_rmm(_mm(tproj(Pd))))
+                den = np.einsum("sn,sn->s", Pd, HP)
+                alpha = np.where(den > 1e-300, rs / np.maximum(den, 1e-300), 0.0)
+                D += alpha[:, None] * Pd
+                R -= alpha[:, None] * HP
+                rs_new = np.einsum("sn,sn->s", R, R)
+                beta = np.where(rs > 1e-300, rs_new / np.maximum(rs, 1e-300), 0.0)
+                Pd = R + beta[:, None] * Pd
+                rs = rs_new
+        else:
+            free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
+            g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
+            d_pf = _polish_cg_batch(dp, jnp.asarray(free_pf, jnp.float32),
+                                    g0t_pf, cg_iters)
+            D = np.asarray(_polish_extract_batch(dp, d_pf), np.float64)
         it_extra += cg_iters
         # per-scenario backtracked clipped step, f64 objective decides
         any_accepted = False
@@ -592,10 +628,11 @@ def solve(
     For mesh-sharded solves, pass ``mesh`` (see bsls_tpu.parallel).
 
     ``refine=K`` runs K active-set tangent-space polish rounds after the
-    main solve (single- or multi-RHS; unsharded, unconstrained; requires
-    a host ``Problem``): the correction to the fp32 solution is CG-solved on
+    main solve (single- or multi-RHS; unconstrained; requires a host
+    ``Problem``): the correction to the fp32 solution is CG-solved on
     device at DELTA scale and accumulated in float64 on the host — see
-    ``refine_polish``.  Plain fp32 floors the true (f64-evaluated)
+    ``refine_polish``.  Mesh-sharded solves refine too: the sharded result
+    is gathered and polished with the host float64 CG path (dp=None).  Plain fp32 floors the true (f64-evaluated)
     relative objective gap at ~2e-6..1e-5 on medium-scale instances;
     three polish rounds (~90 extra iteration-cost units) push through
     1e-6 (measured: 8.5e-6 -> 4.8e-7, BASELINE.md).  The returned ``x``
@@ -645,13 +682,13 @@ def solve(
             raise ValueError("callback is not supported for mesh-sharded solves")
         if space != "x":
             raise ValueError("mesh-sharded solves support space='x' only")
-        if refine > 0:
+        if refine > 0 and not isinstance(problem, Problem):
             raise ValueError(
-                "refine is not supported for mesh-sharded solves (the polish "
-                "anchor is a host float64 pass; run refine on the gathered "
-                "result via solvers.base.refine_polish if needed)"
+                "refine on a mesh-sharded solve needs the host Problem (the "
+                "polish anchor is a host float64 pass); pass the Problem, "
+                "not a pre-sharded triple"
             )
-        return solve_sharded(
+        res = solve_sharded(
             problem, mesh, method=method, tol=tol, max_iter=max_iter,
             chunk=chunk, line_search=line_search, step_size=step_size, dtype=dtype,
             x0=x0, verbose=verbose, metrics=metrics,
@@ -659,6 +696,13 @@ def solve(
             checkpoint_keep=checkpoint_keep, resume=resume, stop_rule=stop_rule,
             lbfgs_mem=lbfgs_mem,
         )
+        if refine > 0:
+            # gather-and-polish: the sharded result is already host-side
+            # (extract_sharded); the host f64 CG path (dp=None) runs the
+            # same tangent-space correction the single-device polish does
+            res = refine_polish(problem, None, res, rounds=refine,
+                                target_rel_gap=refine_tol)
+        return res
     if isinstance(problem, Problem):
         dp = L.prepare(problem, dtype=dtype)
     else:

@@ -394,52 +394,63 @@ def solve_equality_constrained(
 def solve_eq_sensitivity(
     problem: Problem,
     x0: np.ndarray,
-    lam0: np.ndarray,
-    rho: float,
-    op_cache: dict,
-    method: str = "pgd",
-    line_search: str = "exact",
-    dtype=jnp.float32,
-    rounds: int = 6,
+    rho: float = 1.0,
+    rounds: int = 40,
     eq_tol: float = 1e-6,
-    cg_iters: int = 300,
+    cg_iters: int = 400,
+    max_nnz: int = 2_000_000,
     debug: bool = False,
 ):
-    """Sensitivity fast path for STREAMING equality-constrained requests.
+    """Sensitivity fast path for STREAMING equality-constrained requests:
+    warm-started **block principal pivoting** (Kim & Park's BPP strategy for
+    NNLS, arXiv:1102.1006 §3, extended here to the blocksum+Cx=d constraint
+    set) in float64 on the host.
 
-    Given a previously CONVERGED request's state (x0, lam0, rho) and a
-    nearby right-hand side, the new optimum is a correction on a
-    mostly-unchanged active face — so instead of re-running fp32 AL inner
-    solves (measured: 6-8 outers, ~7k inner iterations for a 2% b drift),
-    do the whole correction in float64 on the host:
+    Given a previously CONVERGED request's iterate x0 and a nearby
+    right-hand side, the new optimum sits on a mostly-unchanged active
+    face, so instead of re-running fp32 AL inner solves (measured: 6-8
+    outers, ~7k inner iterations for a 2% b drift) iterate exact face
+    solves until the KKT system is clean:
 
-    1. **Primal KKT jump**: solve  min ||A dx - db||^2  over the tangent
-       space of the active face  {dx_pinned = 0, blocksum_b(dx) = 0,
-       C dx = 0}  by CG on the projected normal equations.  The projector
-       onto null(G), G = [blocksum rows; C_free], inverts the constraint
-       Gram via its Schur complement on the C block — blocksum rows have
-       disjoint supports, so the Gram is [[diag, Q],[Q^T, CC^T]] and only
-       a p x p dense factor is needed (scales to 1M blocks).
-    2. **Dual jump**: re-estimate the multipliers at the jumped point from
-       stationarity  g + G^T mu = 0  on the free coords (same Gram factor);
-       lam_new = the C-block of mu.
-    3. **f64 AL finishing outers** (the ``refine=K`` machinery): polish the
-       stacked subproblem with the active-set tangent CG, update lam in
-       float64 — this absorbs active-set drift the jump clipped over.
+    1. **Face solve**: min ||Ay-b||^2 over {y supported on the free set,
+       blocksum_b(y)=1, Cy=d} — one particular step restoring affine
+       feasibility plus CG on the projected normal equations
+       P A^T A P w = -P g.  The projector onto null(G),
+       G = [blocksum rows; C_free], inverts the constraint Gram via its
+       Schur complement on the C block: blocksum rows have disjoint
+       supports, so the Gram is [[diag(cnt), Q],[Q^T, Cf Cf^T]] and only a
+       p x p dense factor is needed per round (scales to 1M blocks).
+    2. **Multipliers for free**: stationarity g + G^T mu = 0 least-squared
+       with the same Gram factor gives the eq multipliers mu_c and the
+       reduced gradient w = g + mu_blocksum + C^T mu_c on pinned coords.
+    3. **Block pivot**: pin every primal violator (y_j < 0, j free),
+       release every dual violator (w_j < 0, j pinned).  Kim-Park guard:
+       after 3 non-improving full exchanges, swap only the single worst
+       violator (finite-termination fallback of the classic algorithm).
+       KKT clean (no violators of either kind) => y IS the constrained
+       optimum, exact to f64.
 
-    Returns a converged SolveResult (stop_reason="sensitivity"), or
-    ``None`` when the path does not apply (no cached single-device stacked
-    operator) or its certificate fails (final relative violation > eq_tol)
-    — the caller falls back to the full AL solve.  Safe by construction:
-    feasibility is re-measured in float64 and every polish step must
-    descend the f64 stacked objective.
+    A failed jump (round cap, or a degenerate Gram) returns ``None`` and
+    the caller falls back to the full AL solve; the certificate is the
+    final f64 violation check plus the clean KKT sign conditions.  The
+    previous implementation (round 3) did ONE tangent jump and tried to
+    repair the clipped active set with fixed-rho AL finishing outers —
+    measured to diverge (violation 3e-4 -> 5.8e-3 over 6 rounds) because a
+    2% b drift moves ~15% of the active set and clipping 0.6 units of mass
+    poisons the multiplier estimate.  BPP re-solves the face exactly after
+    every exchange instead, and converges in ~8 rounds on the same request.
+
+    ``max_nnz`` gates the path by instance size: each round costs
+    O(cg_iters) host CSR matvecs, which beats the device AL re-solve for
+    serving-scale networks but not for multi-million-nnz instances.
+    ``rho`` is passed through to the result's ``eq_rho`` so the serving
+    warm cache keeps a consistent AL state for a later full solve.
     """
     import time as _time
 
-    from dataclasses import replace as dc_replace
-
-    from .base import SolveResult, refine_polish, uses_zspace
+    from .base import SolveResult
     from ..models.oracle import _fast_operator
+    import scipy.sparse as sp
 
     t0 = _time.perf_counter()
     C = problem.C
@@ -450,11 +461,11 @@ def solve_eq_sensitivity(
     d = np.asarray(problem.d, np.float64)
     if multi and d.ndim == 1:
         d = np.broadcast_to(d, (S, p))
-    key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)),
-           np.shape(b), uses_zspace(method, line_search))
-    dp_cache, _, _, _ = op_cache.get(key, (None, None, None, None))
-    if dp_cache is None or isinstance(dp_cache, tuple):
-        return None  # no single-device cached operator -> full path
+    nnz = getattr(problem.A, "nnz", None)
+    if nnz is None:  # dense: every entry counts
+        nnz = int(np.prod(problem.A.shape))
+    if nnz > max_nnz:
+        return None  # host f64 matvecs would lose to the device solve
 
     part = problem.partition
     sizes = np.asarray(part.sizes, np.int64)
@@ -462,40 +473,29 @@ def solve_eq_sensitivity(
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
     block_ids = np.repeat(np.arange(B_blocks), sizes)
     opA = _fast_operator(problem.A)
-    import scipy.sparse as sp
-
     C_csr = sp.csr_matrix(C.to_scipy()).astype(np.float64)
     C_csc = sp.csr_matrix(C_csr.T)
 
-    def repair(V):
-        V = np.maximum(V, 0.0)
-        ssum = np.add.reduceat(V, offsets, axis=-1)
-        return V / np.repeat(np.maximum(ssum, 1e-300), sizes, axis=-1)
+    def ensure_live(free, ref):
+        """Every block keeps >= 1 free coord (blocksum=1 needs support)."""
+        cnt = np.add.reduceat(free.astype(np.int64), offsets)
+        for bidx in np.nonzero(cnt == 0)[0]:
+            lo = offsets[bidx]
+            free[lo + int(np.argmax(ref[lo:lo + sizes[bidx]]))] = True
+        return free
 
-    X = repair(np.atleast_2d(np.asarray(x0, np.float64)))
-    B_rhs = np.atleast_2d(b)
-    lam = np.atleast_2d(np.asarray(lam0, np.float64)).copy()
-    D_tgt = np.atleast_2d(d)
-
-    # --- per-scenario KKT jump (host float64) ---
-    for s in range(S):
-        x = X[s]
-        # pin fp32-noise coords: a 1e-12 threshold admits ~1e-8 junk whose
-        # tangent step then goes negative and destroys feasibility on clip
-        # (the classic degenerate-active-set failure); genuinely active
-        # route flows are O(1/width)
-        free = x > 1e-8
-        # constraint Gram [[diag(cnt), Q],[Q^T, Cf Cf^T]] with Schur on C
+    def face_solve(free, x_init, b_s, d_s):
+        """Exact equality-constrained LSQ on the face; returns
+        (y, mu_c, w_red) with y exactly affine-feasible on the free set."""
+        freef = free.astype(np.float64)
         cnt = np.bincount(block_ids[free], minlength=B_blocks).astype(
             np.float64)
-        live = cnt > 0  # blocks with at least one free coord
-        Cf = C_csr.multiply(free.astype(np.float64)[None, :]).tocsr()
-        Q = np.zeros((p, B_blocks))
+        Dinv = 1.0 / np.maximum(cnt, 1.0)
         if p:
-            # Q[c, b] = sum of Cf[c, i] over i in block b
+            Cf = C_csr.multiply(freef[None, :]).tocsr()
+            Q = np.zeros((p, B_blocks))
             coo = Cf.tocoo()
             np.add.at(Q, (coo.row, block_ids[coo.col]), coo.data)
-            Dinv = np.where(live, 1.0 / np.maximum(cnt, 1.0), 0.0)
             Sch = (Cf @ Cf.T).toarray() - (Q * Dinv[None, :]) @ Q.T
             Sch += 1e-12 * np.eye(p) * max(1.0, np.trace(Sch) / max(p, 1))
 
@@ -504,140 +504,105 @@ def solve_eq_sensitivity(
                 z_b = Dinv * (u_b - Q.T @ z_c)
                 return z_b, z_c
         else:
-            Dinv = np.where(live, 1.0 / np.maximum(cnt, 1.0), 0.0)
-
             def gram_solve(u_b, u_c):
                 return Dinv * u_b, u_c
 
-        def G_apply(v):  # v masked to free
+        def G_apply(v):
             return (np.bincount(block_ids, weights=v, minlength=B_blocks),
                     C_csr @ v)
 
         def Gt_apply(z_b, z_c):
-            return (z_b[block_ids] + (C_csc @ z_c)) * free
+            return (z_b[block_ids] + (C_csc @ z_c)) * freef
 
-        def P(v):  # project masked v onto null(G) within the free coords
-            v = v * free
-            u_b, u_c = G_apply(v)
-            z_b, z_c = gram_solve(u_b, u_c)
-            return v - Gt_apply(z_b, z_c)
+        def P(v):
+            v = v * freef
+            return v - Gt_apply(*gram_solve(*G_apply(v)))
 
-        # CG on  P A^T A P dx = P A^T db
-        db = B_rhs[s] - (opA.matvec(x) - (opA.matvec(x) - B_rhs[s]))  # = b_new
-        r_new = opA.matvec(x) - B_rhs[s]
-        rhs = P(-opA.rmatvec(r_new))
-        dx = np.zeros_like(x)
+        x = np.where(free, x_init, 0.0)
+        u_b, u_c = G_apply(x)
+        y0 = x + Gt_apply(*gram_solve(1.0 - u_b, d_s - u_c))
+        rhs = P(-opA.rmatvec(opA.matvec(y0) - b_s))
+        w = np.zeros_like(x)
         r = rhs.copy()
         q = r.copy()
         rs = float(r @ r)
         rs0 = rs
         for _ in range(cg_iters):
-            if rs <= 1e-24 * max(rs0, 1e-300):
+            if rs <= 1e-26 * max(rs0, 1e-300):
                 break
             Aq = P(opA.rmatvec(opA.matvec(q)))
             qAq = float(q @ Aq)
-            if qAq <= 0:
+            if qAq <= 1e-300:
                 break
             alpha = rs / qAq
-            dx += alpha * q
+            w += alpha * q
             r -= alpha * Aq
             rs_new = float(r @ r)
             q = r + (rs_new / rs) * q
             rs = rs_new
-        # feasibility-preserving acceptance: clip can break BOTH the block
-        # sums and Cx=d, so after clipping re-project onto the affine
-        # constraint set {blocksum=1 (live blocks), Cx=d} with the same
-        # Gram factor, and accept the largest backtracked step that
-        # decreases the f64 augmented-Lagrangian merit (a rejected jump
-        # degrades to the plain warm start)
-        d_s = D_tgt[s]
+        y = y0 + w
+        g = opA.rmatvec(opA.matvec(y) - b_s)
+        mu_b, mu_c = gram_solve(*G_apply(-g * freef))
+        w_red = g + mu_b[block_ids] + (C_csc @ mu_c if p else 0.0)
+        return y, mu_c, w_red
 
-        def affine_proj(v):
-            u_b = np.bincount(block_ids, weights=v * free,
-                              minlength=B_blocks) - live.astype(np.float64)
-            u_c = C_csr @ (v * free) - d_s
-            z_b, z_c = gram_solve(u_b, u_c)
-            return v * free - Gt_apply(z_b, z_c)
+    X = np.atleast_2d(np.asarray(x0, np.float64)).copy()
+    B_rhs = np.atleast_2d(b)
+    D_tgt = np.atleast_2d(d)
+    lam_out = np.zeros((S, p))
+    X_out = np.zeros_like(X)
 
-        lam_s = lam[s] if p else np.zeros(0)
-        rho_f = float(rho)
-
-        def merit(v):
-            rr = opA.matvec(v) - B_rhs[s]
-            cv = (C_csr @ v) - d_s if p else np.zeros(0)
-            return (0.5 * float(rr @ rr) + float(lam_s @ cv)
-                    + 0.5 * rho_f * float(cv @ cv))
-
-        m0 = merit(x)
-        x_new = x
-        t = 1.0
-        for _bt in range(12):
-            xc = x + t * dx
-            for _pass in range(3):  # alternate clip <-> affine projection
-                xc = affine_proj(np.maximum(xc, 0.0))
-            xc = np.maximum(xc, 0.0)
-            if merit(xc) < m0:
-                x_new = xc
+    for s in range(S):
+        x = np.maximum(X[s], 0.0)
+        # pin fp32-noise coords: genuine route flows are O(1/width),
+        # ~1e-8 junk coords would poison the face with degenerate pivots
+        free = ensure_live(x > 1e-8, x)
+        y, mu_c = x, np.zeros(p)
+        nviol_best = np.inf
+        patience = 3
+        ok = False
+        for rnd in range(rounds):
+            y, mu_c, w_red = face_solve(free, x, B_rhs[s], D_tgt[s])
+            gscale = max(1.0, float(np.abs(w_red).max()))
+            prim_bad = free & (y < -1e-12)
+            dual_bad = (~free) & (w_red < -1e-9 * gscale)
+            nviol = int(prim_bad.sum() + dual_bad.sum())
+            if debug:
+                print(f"[sens] s={s} round={rnd} prim_bad="
+                      f"{int(prim_bad.sum())} dual_bad={int(dual_bad.sum())}"
+                      f" free={int(free.sum())}")
+            if nviol == 0:
+                ok = True
                 break
-            t *= 0.5
-        # dual jump: g + G^T mu = 0 on the free coords (lstsq via the Gram)
-        g = opA.rmatvec(opA.matvec(x_new) - B_rhs[s])
-        u_b, u_c = G_apply(-g * free)
-        _, mu_c = gram_solve(u_b, u_c)
-        X[s] = x_new
-        if p:
-            lam[s] = mu_c
+            if nviol < nviol_best:
+                nviol_best, patience = nviol, 3
+            else:
+                patience -= 1
+            if patience >= 0:  # full block exchange
+                free = (free & ~prim_bad) | dual_bad
+            else:  # anti-cycling: exchange only the single worst violator
+                cand = np.maximum(np.where(prim_bad, -y, -np.inf),
+                                  np.where(dual_bad, -w_red, -np.inf))
+                j = int(np.argmax(cand))
+                free = free.copy()
+                free[j] = ~free[j]
+            free = ensure_live(free, y)
+            x = np.maximum(y, 0.0)
+        if not ok:
+            return None  # round cap: fall back to the full AL solve
+        X_out[s] = np.maximum(y, 0.0)
+        lam_out[s] = mu_c
 
-    # --- f64 AL finishing outers from the jumped state ---
-    rho = float(rho)
-    sr = np.sqrt(rho)
+    x_res = X_out if multi else X_out[0]
     dref = max(1.0, float(np.abs(d).max())) if p else 1.0
-    x_res = X if multi else X[0]
     viol = float(np.abs(_c_matvec(C, x_res) - d).max()) / dref if p else 0.0
-    if debug:
-        print(f"[sens] post-jump viol={viol:.3e} f={np.max(problem.objective_np(x_res)):.6e}")
-    total = 0
-    for _ in range(rounds):
-        b_bot = sr * (D_tgt - lam / rho)
-        b_stacked = np.concatenate([B_rhs, b_bot], axis=-1)
-        b_use = b_stacked if multi else b_stacked[0]
-        host_stacked = Problem(
-            A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
-            b=b_use,
-            partition=problem.partition,
-            name=problem.name + "+eq",
-        )
-        dp_pol = dc_replace(
-            dp_cache,
-            A=dc_replace(dp_cache.A,
-                         bottom_scale=jnp.asarray(sr, dp_cache.b.dtype)),
-            b=jnp.asarray(b_use, dp_cache.b.dtype),
-        )
-        seed = SolveResult(
-            x=x_res, objective=np.inf, gap=np.inf, iterations=0,
-            converged=False, trace_f=np.zeros(0), trace_gap=np.zeros(0),
-            chunk_times=np.zeros(0), chunk_iters=np.zeros(0),
-        )
-        polished = refine_polish(host_stacked, dp_pol, seed, rounds=2)
-        total += polished.iterations
-        xn = np.asarray(polished.x, np.float64)
-        moved = bool(np.any(np.abs(xn - x_res) > 0))
-        x_res = xn
-        cx_d = _c_matvec(C, x_res) - d
-        lam_flat = lam if multi else lam[0]
-        lam_flat += rho * cx_d
-        viol = float(np.abs(cx_d).max()) / dref if p else 0.0
-        if debug:
-            print(f"[sens] round viol={viol:.3e} moved={moved} f={np.max(problem.objective_np(x_res)):.6e}")
-        if viol <= 1e-12 or not moved:
-            break
     if viol > eq_tol:
         return None  # certificate failed: caller runs the full AL solve
     out = SolveResult(
         x=x_res,
         objective=problem.objective_np(x_res),
         gap=np.inf,
-        iterations=total,
+        iterations=0,
         converged=True,
         trace_f=np.zeros(0),
         trace_gap=np.zeros(0),
@@ -647,6 +612,6 @@ def solve_eq_sensitivity(
         stop_reason="sensitivity",
         refine_secs=_time.perf_counter() - t0,
     )
-    out.eq_lam = lam if multi else lam[0]
-    out.eq_rho = rho
+    out.eq_lam = lam_out if multi else lam_out[0]
+    out.eq_rho = float(rho)
     return out

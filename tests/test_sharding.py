@@ -319,3 +319,40 @@ def test_sharded_banded_gather_fallback(eight_devices):
     prob = _uniform_prob(S=2, m=4096)
     dp, part = shard_problem(prob, mesh, layout="auto")
     assert not isinstance(dp.A, DeviceBanded)
+
+
+def test_sharded_refine_crosses_true_gap(eight_devices):
+    """refine=K on a mesh-sharded solve (VERDICT r3 item 2): the gathered
+    result is polished by the host float64 CG path (refine_polish with
+    dp=None) and must cross the TRUE f64-evaluated 1e-6 relative gap that
+    plain fp32 floors above — the config-4 honest-accuracy story."""
+    from bsls_tpu.models import oracle_solve
+
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = _uniform_prob(S=2, num_blocks=64, dim=8, m=256, seed=3)
+    singles = [
+        bsls.Problem(A=prob.A, b=prob.b[s], partition=prob.partition)
+        for s in range(2)
+    ]
+    orc = [
+        oracle_solve(p, tol_gap=1e-11, max_iter=30000).objective
+        for p in singles
+    ]
+    r0 = bsls.solve(prob, method="pgd", line_search="bb", tol=0.0,
+                    max_iter=600, chunk=50, mesh=mesh)
+    r1 = bsls.solve(prob, method="pgd", line_search="bb", tol=0.0,
+                    max_iter=600, chunk=50, mesh=mesh, refine=6)
+    f1 = np.asarray(r1.objective, np.float64)
+    x0h = np.asarray(r0.x, np.float64)
+    f0 = np.asarray(
+        [float(singles[s].objective_np(x0h[s])) for s in range(2)])
+    for s in range(2):
+        rel = (f1[s] - orc[s]) / max(1.0, abs(orc[s]))
+        assert rel < 1e-6, (s, f1[s], orc[s], rel)
+    # never worse than the unrefined sharded solve
+    assert np.all(f1 <= f0 + 1e-12), (f1, f0)
+    # refined x is feasible
+    x = np.asarray(r1.x)
+    off = np.concatenate([[0], np.cumsum(prob.partition.sizes)])[:-1]
+    assert np.all(x >= -1e-12)
+    assert np.allclose(np.add.reduceat(x, off, axis=-1), 1.0, atol=1e-9)

@@ -418,10 +418,17 @@ def test_refine_polish_rejects_unsupported():
 
     from bsls_tpu.parallel import make_mesh
 
+    from bsls_tpu.parallel import shard_problem
+
     prob = synthetic.tiny_dense(num_blocks=16, m=80)
     mesh = make_mesh(block=len(jax.devices()))
+    # refine on a mesh-sharded solve is supported from a host Problem (the
+    # polish gathers and anchors in f64); a pre-sharded triple has no host
+    # Problem to anchor against and must be rejected loudly
+    dp, part = shard_problem(synthetic.with_scenarios(prob, 1), mesh)
     with pytest.raises(ValueError, match="refine"):
-        bsls.solve(prob, method="pgd", max_iter=10, refine=1, mesh=mesh)
+        bsls.solve((dp, part, True), method="pgd", max_iter=10, refine=1,
+                   mesh=mesh)
 
 
 def test_steady_iters_per_sec_spans_syncs():
