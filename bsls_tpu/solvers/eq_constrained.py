@@ -391,66 +391,63 @@ def solve_equality_constrained(
     return result
 
 
+
 def solve_eq_sensitivity(
     problem: Problem,
     x0: np.ndarray,
     rho: float = 1.0,
     rounds: int = 40,
     eq_tol: float = 1e-6,
-    cg_iters: int = 400,
-    max_nnz: int = 2_000_000,
+    eps0_rel: float = 1e-4,
+    eps_min_rel: float = 1e-9,
+    prox_outers: int = 12,
+    max_kkt: int = 3000,
     debug: bool = False,
 ):
     """Sensitivity fast path for STREAMING equality-constrained requests:
-    warm-started **block principal pivoting** (Kim & Park's BPP strategy for
-    NNLS, arXiv:1102.1006 §3, extended here to the blocksum+Cx=d constraint
-    set) in float64 on the host.
+    a **proximal-point outer loop over block principal pivoting** (Kim &
+    Park's BPP exchange strategy for NNLS, arXiv:1102.1006 SS3, extended
+    here to the blocksum+Cx=d constraint set), all float64 on the host
+    with dense-KKT face solves.
 
     Given a previously CONVERGED request's iterate x0 and a nearby
     right-hand side, the new optimum sits on a mostly-unchanged active
     face, so instead of re-running fp32 AL inner solves (measured: 6-8
-    outers, ~7k inner iterations for a 2% b drift) iterate exact face
-    solves until the KKT system is clean:
+    outers, ~7k inner iterations for a 2% b drift):
 
-    1. **Face solve**: min ||Ay-b||^2 over {y supported on the free set,
-       blocksum_b(y)=1, Cy=d} — one particular step restoring affine
-       feasibility plus CG on the projected normal equations
-       P A^T A P w = -P g.  The projector onto null(G),
-       G = [blocksum rows; C_free], inverts the constraint Gram via its
-       Schur complement on the C block: blocksum rows have disjoint
-       supports, so the Gram is [[diag(cnt), Q],[Q^T, Cf Cf^T]] and only a
-       p x p dense factor is needed per round (scales to 1M blocks).
-    2. **Multipliers for free**: stationarity g + G^T mu = 0 least-squared
-       with the same Gram factor gives the eq multipliers mu_c and the
-       reduced gradient w = g + mu_blocksum + C^T mu_c on pinned coords.
-    3. **Block pivot**: pin every primal violator (y_j < 0, j free),
-       release every dual violator (w_j < 0, j pinned).  Kim-Park guard:
-       after 3 non-improving full exchanges, swap only the single worst
-       violator (finite-termination fallback of the classic algorithm).
-       KKT clean (no violators of either kind) => y IS the constrained
-       optimum, exact to f64.
+    1. **Prox outer** k: minimize  ||Ay-b||^2 + eps_k ||y - x_k||^2  over
+       the feasible set, with x_k the previous outer's solution and eps_k
+       shrinking 1e-4 -> 1e-9 (relative to mean ||A_col||^2).  The proximal
+       term is what makes BPP converge on rank-deficient route-incidence
+       instances: without it the face LSQ has a null space, face solutions
+       carry ~100 arbitrary negative coords, and the pin/release exchange
+       cycles indefinitely (measured on the 16x16 grid config).  With
+       re-anchoring, the bias vanishes geometrically: measured f trace
+       2877.19 -> 2870.5061 -> stable to 1e-9 over outers, final solution
+       BELOW the fp32 AL cold solve at viol ~1e-12.
+    2. **BPP inner**: exact face solves of the prox objective via ONE dense
+       KKT factorization per round ([[H+eps I, G^T],[G, 0]], G = [blocksum
+       rows; C] restricted to free columns); pin every primal violator
+       (y_j < 0), release every dual violator (reduced gradient w_j < 0),
+       with the single-swap anti-cycling fallback after 3 non-improving
+       full exchanges.  KKT-clean => exact constrained optimum of the
+       prox subproblem.  Warm-started, inners after the first converge in
+       1-2 rounds.
 
-    A failed jump (round cap, or a degenerate Gram) returns ``None`` and
-    the caller falls back to the full AL solve; the certificate is the
-    final f64 violation check plus the clean KKT sign conditions.  The
-    previous implementation (round 3) did ONE tangent jump and tried to
-    repair the clipped active set with fixed-rho AL finishing outers —
-    measured to diverge (violation 3e-4 -> 5.8e-3 over 6 rounds) because a
-    2% b drift moves ~15% of the active set and clipping 0.6 units of mass
-    poisons the multiplier estimate.  BPP re-solves the face exactly after
-    every exchange instead, and converges in ~8 rounds on the same request.
-
-    ``max_nnz`` gates the path by instance size: each round costs
-    O(cg_iters) host CSR matvecs, which beats the device AL re-solve for
-    serving-scale networks but not for multi-million-nnz instances.
-    ``rho`` is passed through to the result's ``eq_rho`` so the serving
-    warm cache keeps a consistent AL state for a later full solve.
+    Returns a converged SolveResult (stop_reason="sensitivity") whose x is
+    feasible to f64 roundoff, or ``None`` when the path does not apply —
+    instance too large for dense KKT solves (``max_kkt`` bounds the KKT
+    dimension n_free + B + p), exchange-round cap, or final violation
+    above ``eq_tol`` — in which case the caller falls back to the full AL
+    solve.  ``rho`` passes through to ``eq_rho`` so the serving warm cache
+    keeps a consistent AL state for a later full solve.
     """
     import time as _time
 
-    from .base import SolveResult
-    from ..models.oracle import _fast_operator
     import scipy.sparse as sp
+
+    from .base import SolveResult
+    from ..ops.layout import _col_norms_sq
 
     t0 = _time.perf_counter()
     C = problem.C
@@ -461,20 +458,18 @@ def solve_eq_sensitivity(
     d = np.asarray(problem.d, np.float64)
     if multi and d.ndim == 1:
         d = np.broadcast_to(d, (S, p))
-    nnz = getattr(problem.A, "nnz", None)
-    if nnz is None:  # dense: every entry counts
-        nnz = int(np.prod(problem.A.shape))
-    if nnz > max_nnz:
-        return None  # host f64 matvecs would lose to the device solve
 
     part = problem.partition
     sizes = np.asarray(part.sizes, np.int64)
     B_blocks = sizes.size
+    n = int(sizes.sum())
+    if n + B_blocks + p > max_kkt:
+        return None  # dense KKT beyond serving scale: full AL path
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
     block_ids = np.repeat(np.arange(B_blocks), sizes)
-    opA = _fast_operator(problem.A)
+    A_csr = sp.csr_matrix(problem.A.to_scipy()).astype(np.float64)
     C_csr = sp.csr_matrix(C.to_scipy()).astype(np.float64)
-    C_csc = sp.csr_matrix(C_csr.T)
+    a_scale = float(np.mean(_col_norms_sq(problem.A))) or 1.0
 
     def ensure_live(free, ref):
         """Every block keeps >= 1 free coord (blocksum=1 needs support)."""
@@ -484,98 +479,52 @@ def solve_eq_sensitivity(
             free[lo + int(np.argmax(ref[lo:lo + sizes[bidx]]))] = True
         return free
 
-    def face_solve(free, x_init, b_s, d_s):
-        """Exact equality-constrained LSQ on the face; returns
-        (y, mu_c, w_red) with y exactly affine-feasible on the free set."""
-        freef = free.astype(np.float64)
-        cnt = np.bincount(block_ids[free], minlength=B_blocks).astype(
-            np.float64)
-        Dinv = 1.0 / np.maximum(cnt, 1.0)
-        if p:
-            Cf = C_csr.multiply(freef[None, :]).tocsr()
-            Q = np.zeros((p, B_blocks))
-            coo = Cf.tocoo()
-            np.add.at(Q, (coo.row, block_ids[coo.col]), coo.data)
-            Sch = (Cf @ Cf.T).toarray() - (Q * Dinv[None, :]) @ Q.T
-            Sch += 1e-12 * np.eye(p) * max(1.0, np.trace(Sch) / max(p, 1))
-
-            def gram_solve(u_b, u_c):
-                z_c = np.linalg.solve(Sch, u_c - (Q * Dinv[None, :]) @ u_b)
-                z_b = Dinv * (u_b - Q.T @ z_c)
-                return z_b, z_c
-        else:
-            def gram_solve(u_b, u_c):
-                return Dinv * u_b, u_c
-
-        def G_apply(v):
-            return (np.bincount(block_ids, weights=v, minlength=B_blocks),
-                    C_csr @ v)
-
-        def Gt_apply(z_b, z_c):
-            return (z_b[block_ids] + (C_csc @ z_c)) * freef
-
-        def P(v):
-            v = v * freef
-            return v - Gt_apply(*gram_solve(*G_apply(v)))
-
-        x = np.where(free, x_init, 0.0)
-        u_b, u_c = G_apply(x)
-        y0 = x + Gt_apply(*gram_solve(1.0 - u_b, d_s - u_c))
-        rhs = P(-opA.rmatvec(opA.matvec(y0) - b_s))
-        w = np.zeros_like(x)
-        r = rhs.copy()
-        q = r.copy()
-        rs = float(r @ r)
-        rs0 = rs
-        for _ in range(cg_iters):
-            if rs <= 1e-26 * max(rs0, 1e-300):
-                break
-            Aq = P(opA.rmatvec(opA.matvec(q)))
-            qAq = float(q @ Aq)
-            if qAq <= 1e-300:
-                break
-            alpha = rs / qAq
-            w += alpha * q
-            r -= alpha * Aq
-            rs_new = float(r @ r)
-            q = r + (rs_new / rs) * q
-            rs = rs_new
-        y = y0 + w
-        g = opA.rmatvec(opA.matvec(y) - b_s)
-        mu_b, mu_c = gram_solve(*G_apply(-g * freef))
-        w_red = g + mu_b[block_ids] + (C_csc @ mu_c if p else 0.0)
-        return y, mu_c, w_red
-
-    X = np.atleast_2d(np.asarray(x0, np.float64)).copy()
-    B_rhs = np.atleast_2d(b)
-    D_tgt = np.atleast_2d(d)
-    lam_out = np.zeros((S, p))
-    X_out = np.zeros_like(X)
-
-    for s in range(S):
-        x = np.maximum(X[s], 0.0)
-        # pin fp32-noise coords: genuine route flows are O(1/width),
-        # ~1e-8 junk coords would poison the face with degenerate pivots
+    def bpp(xa, b_s, d_s, eps):
+        """One prox subproblem: BPP with dense-KKT face solves.
+        Returns (y, mu_eq, ok)."""
+        x = np.maximum(xa, 0.0)
         free = ensure_live(x > 1e-8, x)
-        y, mu_c = x, np.zeros(p)
-        nviol_best = np.inf
+        nbest = np.inf
         patience = 3
-        ok = False
+        y, mu = x, np.zeros(B_blocks + p)
         for rnd in range(rounds):
-            y, mu_c, w_red = face_solve(free, x, B_rhs[s], D_tgt[s])
+            fidx = np.nonzero(free)[0]
+            nf = fidx.size
+            AF = A_csr[:, fidx]
+            H = (AF.T @ AF).toarray()
+            H[np.diag_indices(nf)] += eps
+            GB = np.zeros((B_blocks, nf))
+            GB[block_ids[fidx], np.arange(nf)] = 1.0
+            G = np.vstack([GB, C_csr[:, fidx].toarray()])
+            nc = B_blocks + p
+            KKT = np.zeros((nf + nc, nf + nc))
+            KKT[:nf, :nf] = H
+            KKT[:nf, nf:] = G.T
+            KKT[nf:, :nf] = G
+            rhs = np.concatenate([
+                AF.T @ b_s + eps * xa[fidx],
+                np.concatenate([np.ones(B_blocks), d_s]),
+            ])
+            try:
+                sol = np.linalg.solve(KKT, rhs)
+            except np.linalg.LinAlgError:
+                sol, *_ = np.linalg.lstsq(KKT, rhs, rcond=None)
+            y = np.zeros(n)
+            y[fidx] = sol[:nf]
+            mu = sol[nf:]
+            g = A_csr.T @ (A_csr @ y - b_s) + eps * (y - xa)
+            w_red = g + mu[:B_blocks][block_ids] + C_csr.T @ mu[B_blocks:]
             gscale = max(1.0, float(np.abs(w_red).max()))
             prim_bad = free & (y < -1e-12)
             dual_bad = (~free) & (w_red < -1e-9 * gscale)
             nviol = int(prim_bad.sum() + dual_bad.sum())
             if debug:
-                print(f"[sens] s={s} round={rnd} prim_bad="
-                      f"{int(prim_bad.sum())} dual_bad={int(dual_bad.sum())}"
-                      f" free={int(free.sum())}")
+                print(f"[sens] bpp rnd={rnd} prim={int(prim_bad.sum())} "
+                      f"dual={int(dual_bad.sum())} free={nf} eps={eps:.1e}")
             if nviol == 0:
-                ok = True
-                break
-            if nviol < nviol_best:
-                nviol_best, patience = nviol, 3
+                return np.maximum(y, 0.0), mu[B_blocks:], True
+            if nviol < nbest:
+                nbest, patience = nviol, 3
             else:
                 patience -= 1
             if patience >= 0:  # full block exchange
@@ -588,10 +537,35 @@ def solve_eq_sensitivity(
                 free[j] = ~free[j]
             free = ensure_live(free, y)
             x = np.maximum(y, 0.0)
-        if not ok:
-            return None  # round cap: fall back to the full AL solve
-        X_out[s] = np.maximum(y, 0.0)
-        lam_out[s] = mu_c
+        return np.maximum(y, 0.0), mu[B_blocks:], False
+
+    X = np.atleast_2d(np.asarray(x0, np.float64)).copy()
+    B_rhs = np.atleast_2d(b)
+    D_tgt = np.atleast_2d(d)
+    lam_out = np.zeros((S, p))
+    X_out = np.zeros_like(X)
+
+    for s in range(S):
+        x = np.maximum(X[s], 0.0)
+        eps_rel = eps0_rel
+        f_prev = None
+        lam_s = None
+        for k in range(prox_outers):
+            y, lam_s, ok = bpp(x, B_rhs[s], D_tgt[s], eps_rel * a_scale)
+            if not ok:
+                return None  # exchange cap: fall back to the full AL solve
+            f = 0.5 * float(np.sum((A_csr @ y - B_rhs[s]) ** 2))
+            if debug:
+                print(f"[sens] s={s} prox k={k} eps_rel={eps_rel:.1e} "
+                      f"f={f:.9g} move={float(np.abs(y - x).max()):.2e}")
+            x = y
+            if (f_prev is not None and eps_rel <= eps_min_rel
+                    and abs(f_prev - f) <= 1e-10 * max(1.0, abs(f))):
+                break
+            f_prev = f
+            eps_rel = max(eps_rel / 10.0, eps_min_rel)
+        X_out[s] = x
+        lam_out[s] = lam_s
 
     x_res = X_out if multi else X_out[0]
     dref = max(1.0, float(np.abs(d).max())) if p else 1.0
