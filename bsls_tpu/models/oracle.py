@@ -178,6 +178,7 @@ def oracle_solve_eq(
     max_outer: int = 40,
     inner_iter: int = 20000,
     scenario: int | None = None,
+    direct: bool | str = "auto",
 ) -> OracleResult:
     """Float64 oracle for the EQUALITY-CONSTRAINED variant (config 3).
 
@@ -192,6 +193,16 @@ def oracle_solve_eq(
                >= [f(x) + lam.(Cx - d)] - gap_FW(grad f(x) + C^T lam, x)
 
     so  f(x) - f* <= f(x) - q(lam) <= gap_FW(...) - lam.(Cx - d).
+
+    ``direct`` (default "auto"): at dense-KKT scale (n + B + p <= 3000),
+    finish with the exact active-set walk (``prox_bpp_polish``) from a
+    SHORT AL warm start instead of grinding AL-FISTA outers.  Measured
+    motivation (round 4): on a 2%-perturbed grid instance the AL path
+    hits its 220k-inner-iteration cap at f=2916.53 with dual bound 459,
+    while the active-set point f=2870.51 / viol 4.6e-12 is feasible,
+    strictly better, and certifies to ~f64 roundoff.  ``direct=False``
+    forces the legacy AL-only path; ``direct=True`` fails loudly if the
+    instance is beyond dense-KKT scale.
     """
     import scipy.sparse as sp
 
@@ -199,6 +210,43 @@ def oracle_solve_eq(
         return oracle_solve(problem, tol_gap=tol_gap, max_iter=inner_iter,
                             scenario=scenario)
     from dataclasses import replace as dc_replace
+
+    part0 = problem.partition
+    kkt_dim = part0.n_flat + len(part0.sizes) + problem.C.shape[0]
+    if direct == "auto":
+        direct = kkt_dim <= 3000
+    elif direct and kkt_dim > 3000:
+        raise ValueError(
+            f"oracle_solve_eq(direct=True): KKT dimension {kkt_dim} exceeds "
+            "the dense-solve scale (3000); use the AL path")
+    if direct:
+        from ..solvers.eq_constrained import eq_dual_bound, prox_bpp_polish
+
+        warm = oracle_solve_eq(
+            problem, tol_eq=max(tol_eq, 1e-6), tol_gap=max(tol_gap, 1e-8),
+            max_outer=6, inner_iter=3000, scenario=scenario, direct=False,
+        )
+        b_sel = np.asarray(problem.b, np.float64)
+        d_sel = np.asarray(problem.d, np.float64)
+        if b_sel.ndim == 2:
+            s = 0 if scenario is None else scenario
+            b_sel = b_sel[s]
+            if d_sel.ndim == 2:
+                d_sel = d_sel[s]
+        prob1 = dc_replace(problem, b=b_sel, d=d_sel, x_true=None)
+        x_d, lam_d, ok = prox_bpp_polish(prob1, warm.x)
+        if ok:
+            C_sp = sp.csr_matrix(problem.C.to_scipy()).astype(np.float64)
+            A_sp = sp.csr_matrix(problem.A.to_scipy()).astype(np.float64)
+            r_d = A_sp @ x_d - b_sel
+            f_d = 0.5 * float(r_d @ r_d)
+            dref = max(1.0, float(np.abs(d_sel).max())) if d_sel.size else 1.0
+            bound = eq_dual_bound(prob1, x_d, lam_d) * max(1.0, abs(f_d))
+            return OracleResult(
+                x=x_d, objective=f_d, gap=float(bound),
+                iterations=warm.iterations,
+                eq_violation=float(np.abs(C_sp @ x_d - d_sel).max()) / dref)
+        # polish failed (exchange cap): fall through to the full AL path
 
     A_csr = sp.csr_matrix(problem.A.to_scipy()).astype(np.float64)
     C_csr = sp.csr_matrix(problem.C.to_scipy()).astype(np.float64)

@@ -662,7 +662,7 @@ def solve(
             "checkpoint_path": checkpoint_path is not None, "resume": resume,
             "lipschitz": lipschitz is not None,
             "refine+mesh": refine > 0 and mesh is not None,
-            "refine_tol": refine_tol is not None,
+            "refine_tol+mesh": refine_tol is not None and mesh is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:
@@ -674,6 +674,7 @@ def solve(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
             unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, refine=refine,
+            refine_tol=refine_tol,
         )
     if mesh is not None:
         from ..parallel.sharding import solve_sharded

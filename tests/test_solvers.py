@@ -474,3 +474,59 @@ def test_pack_chunk_stats_fixed_shape():
     tfm = [jnp.zeros((4, 5)) + i for i in range(2)]
     outm = np.asarray(pack_chunk_stats(tfm, tfm, 2, jnp.float32))
     assert outm.shape == (2, MAX_SYNC_CHUNKS, 4)
+
+
+def test_eq_refine_tol_certified():
+    """refine_tol on an eq-constrained solve (VERDICT r3 item 5): the
+    active-set finisher (prox_bpp_polish) walks to the exact f64 KKT point
+    and the Lagrangian dual bound certifies it to ~roundoff; the
+    certificate ships as refine_fw_gap and is SOUND vs the f64 oracle."""
+    import dataclasses
+
+    from bsls_tpu.models.oracle import oracle_solve_eq
+
+    prob = synthetic.traffic_like(seed=2, num_blocks=30, m=150, num_eq=8,
+                                  noise=0.1)
+    prob = dataclasses.replace(prob, d=np.asarray(prob.d) * 1.04 + 0.02)
+    res = bsls.solve(prob, method="lbfgs", tol=1e-8, max_iter=3000,
+                     refine_tol=1e-8)
+    assert res.refine_fw_gap is not None and res.refine_fw_gap <= 1e-8, (
+        res.refine_fw_gap)
+    assert res.eq_violation <= 1e-9, res.eq_violation
+    orc = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-11)
+    ref = max(1.0, abs(orc.objective))
+    true_rel = (float(res.objective) - orc.objective) / ref
+    assert true_rel <= res.refine_fw_gap + 1e-10, (true_rel, res.refine_fw_gap)
+
+
+def test_eq_refine_tol_mesh_rejected():
+    import jax
+
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.traffic_like(seed=0, num_blocks=12, m=60, num_eq=4)
+    mesh = make_mesh(block=len(jax.devices()))
+    with pytest.raises(ValueError, match="refine_tol"):
+        bsls.solve(prob, method="pgd", max_iter=10, refine_tol=1e-6, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_eq_oracle_direct_vs_al():
+    """oracle_solve_eq's direct mode (active-set finisher) must match or
+    beat the legacy AL path at equal-or-better feasibility, with a dual
+    bound that actually certifies (round-4 finding: the AL path can hit
+    inner caps on perturbed instances and report useless bounds)."""
+    import dataclasses
+
+    from bsls_tpu.models.oracle import oracle_solve_eq
+
+    prob = synthetic.traffic_like(seed=3, num_blocks=30, m=150, num_eq=8,
+                                  noise=0.3)
+    prob = dataclasses.replace(prob, d=np.asarray(prob.d) * 1.05 + 0.01)
+    o_d = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-11)  # auto: direct
+    o_al = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-11, direct=False)
+    ref = max(1.0, abs(o_al.objective))
+    assert o_d.objective <= o_al.objective + 1e-8 * ref, (
+        o_d.objective, o_al.objective)
+    assert o_d.eq_violation <= 1e-10
+    assert o_d.gap <= 1e-6 * ref  # the bound certifies, not just exists
