@@ -122,7 +122,11 @@ def _child_main():
     print(
         f"# device={t['device']} c_baseline={c['iters_per_sec']:.1f} iter/s "
         f"scenarios={SCENARIOS} tpu_objective_max={t['objective']:.6e} "
-        f"c_objective={c['objective']:.6e}",
+        f"c_objective={c['objective']:.6e} (NOTE: objectives are not "
+        f"comparable — the C side is budget-limited to {C_ITERS} iterations "
+        f"to measure its rate, the TPU side runs "
+        f"{TPU_CHUNK * (TPU_WARM_CHUNKS + TPU_CHUNKS)}; both sides' "
+        f"converged parity is covered by tests/benchmarks/time_to_gap.py)",
         file=sys.stderr,
     )
 

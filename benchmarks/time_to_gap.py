@@ -51,6 +51,19 @@ def main(argv=None):
         "50k-iteration CPU oracles would cost hours; the certificate makes "
         "the shortcut sound) and are cached like the single-RHS oracle",
     )
+    p.add_argument(
+        "--ref", choices=["oracle", "certified"], default=None,
+        help="reference provenance: 'oracle' = cached 50k-iteration f64 "
+        "FISTA oracle (single-RHS default); 'certified' = deep refined "
+        "solve pinned by the f64 FW-gap certificate, no oracle needed — "
+        "the only practical choice at config-4 scale (8M vars), and the "
+        "existing behavior for multi-RHS.  Defaults: certified for "
+        "multi-RHS and for --config large, oracle otherwise.")
+    p.add_argument("--ref-method", default="lbfgs",
+                   help="solver for the certified reference (pgd/bb at "
+                   "config-4 scale: lbfgs memory does not fit next to the "
+                   "2 GB instance)")
+    p.add_argument("--ref-iters", type=int, default=1500)
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -83,12 +96,22 @@ def main(argv=None):
         suffix = "_0_noC"  # must not collide with the eq oracle's cache entry
     key = f"{args.config}{suffix}" if args.config in _CONFIGS else None
     S = args.scenarios
-    ref_cert = None
-    if S > 1:
+    native_S = np.asarray(prob.b).ndim == 2
+    if native_S and S == 1:
+        S = np.asarray(prob.b).shape[0]  # config 4 ships (S, m) natively
+    elif S > 1 and not native_S:
         from bsls_tpu.models.synthetic import with_scenarios
 
         prob = with_scenarios(prob, S)
-        f_star, ref_cert = _multi_rhs_reference(bsls, prob, key, S)
+    ref = args.ref or ("certified" if (S > 1 or args.config == "large")
+                       else "oracle")
+    ref_cert = None
+    if ref == "certified":
+        f_star, ref_cert = _certified_reference(
+            bsls, prob, key, S, method=args.ref_method,
+            iters=args.ref_iters, tol=args.tol)
+        if S == 1:
+            f_star = np.asarray(float(f_star))
     else:
         f_star = np.asarray(cached_oracle_objective(prob, key))
 
@@ -135,23 +158,28 @@ def main(argv=None):
         }
         if cert is not None:
             row["refine_fw_gap"] = cert  # f64 FW certificate of the iterate
+        row["ref"] = ref  # reference provenance: oracle | certified
         if ref_cert is not None:
-            row["ref_fw_gap_rel"] = ref_cert  # soundness of the S>1 reference
+            row["ref_fw_gap_rel"] = ref_cert  # soundness of the certified ref
         print(json.dumps(row), flush=True)
         if args.out:
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
 
-def _multi_rhs_reference(bsls, prob, key: str | None, S: int):
-    """Per-scenario reference objectives for the honest multi-RHS metric.
+def _certified_reference(bsls, prob, key: str | None, S: int,
+                         method: str = "lbfgs", iters: int = 1500,
+                         tol: float = 1e-6):
+    """Oracle-free reference objectives, pinned by a certificate.
 
-    A deep fp32 solve + many f64 polish rounds converges each scenario to
-    ~1e-12 of its optimum (validated against the 50k-iteration f64 oracle
-    single-RHS); soundness is then CERTIFIED per scenario by the float64
-    Frank-Wolfe duality gap at the reference point (f_ref - f* <= gap), and
-    the worst gap/max(1,|f_ref|) ships in the output row as ref_fw_gap_rel.
-    Cached alongside the single-RHS oracle entries.
+    A deep fp32 solve + certified f64 polish rounds (refine_tol, Jacobi-PCG
+    host path) converges each scenario to ~1e-12 of its optimum (validated
+    against the 50k-iteration f64 oracle single-RHS on medium); soundness
+    is then CERTIFIED per scenario by the float64 Frank-Wolfe duality gap
+    at the reference point (f_ref - f* <= gap), and the worst
+    gap/max(1,|f_ref|) ships in the output row as ref_fw_gap_rel.  This is
+    the only practical reference at config-4 scale, where the f64 FISTA
+    oracle would take hours.  Cached alongside the oracle entries.
     """
     import json as _json
 
@@ -164,10 +192,12 @@ def _multi_rhs_reference(bsls, prob, key: str | None, S: int):
         with open(path) as fh:
             d = _json.load(fh)
         return np.asarray(d["objectives"]), d["cert_rel"]
-    res = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=1500, chunk=100,
-                     refine=12)
-    X = np.asarray(res.x, np.float64)
-    B = np.asarray(prob.b, np.float64)
+    m, _, ls = method.partition("/")
+    res = bsls.solve(prob, method=m, line_search=ls or "exact", tol=0.0,
+                     max_iter=iters, chunk=100, refine=12,
+                     refine_tol=0.1 * tol)
+    X = np.atleast_2d(np.asarray(res.x, np.float64))
+    B = np.atleast_2d(np.asarray(prob.b, np.float64))
     sizes = prob.partition.sizes
     f_ref = np.empty(S)
     cert = 0.0

@@ -88,4 +88,34 @@ void bsls_csc_fill_f64(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Y (S, m) = X (S, n) @ A^T for A in CSR (m x n, float64) — i.e. one CSR
+// matvec per RHS row.  The host-side SpMM that dominates certified refine
+// (refine_tol's f64 Jacobi-PCG does ~hundreds of these per polish;
+// scipy's path is single-threaded).  Parallel over (rhs, row-block)
+// pairs so both the many-RHS (S=32) and single-RHS shapes use every
+// core; each task streams one dense x vector (n doubles, L2-resident)
+// against a CSR row range — the cache-friendly orientation (the
+// row-parallel S-wide variant was measured 10x SLOWER than scipy: the
+// (n, S) operand is random-accessed and falls out of L3).
+void bsls_csr_matmat_f64(const int64_t* indptr, const int32_t* indices,
+                         const double* data, int64_t m, int64_t n,
+                         int64_t S, const double* X, double* Y) {
+  const int64_t RB = 8192;  // rows per task
+  const int64_t nrb = (m + RB - 1) / RB;
+#pragma omp parallel for collapse(2) schedule(dynamic)
+  for (int64_t s = 0; s < S; ++s) {
+    for (int64_t rb = 0; rb < nrb; ++rb) {
+      const double* __restrict__ x = X + s * n;
+      double* __restrict__ y = Y + s * m;
+      const int64_t hi = (rb + 1) * RB < m ? (rb + 1) * RB : m;
+      for (int64_t i = rb * RB; i < hi; ++i) {
+        double acc = 0.0;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+          acc += data[p] * x[indices[p]];
+        y[i] = acc;
+      }
+    }
+  }
+}
+
 }  // extern "C"

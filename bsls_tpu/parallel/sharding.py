@@ -240,7 +240,14 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
         row_shards = nr
     else:
         raise NotImplementedError(
-            f"row sharding supports dense and ELL A, got {type(problem.A)}"
+            f"row sharding supports dense and ELL A, got {type(problem.A)}. "
+            "For bandable (corridor) instances use block sharding with "
+            "layout='banded' — it IS row sharding there: band groups own "
+            "advancing row windows, so an 8-way group shard already touches "
+            "only 12.9% of the row pages (12.5% ideal, 3.3% wpages halo — "
+            "measured on medium_banded, BASELINE.md round 4); a separate "
+            "row axis would re-shard the same diagonal and cannot shrink "
+            "per-shard band bytes further."
         )
     if pad:
         b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)], axis=1)
@@ -286,7 +293,12 @@ def shard_problem_2d(problem: Problem, mesh, dtype=jnp.float32):
         if pad:
             A = EllMatrix(rows=A.rows, vals=A.vals, num_rows=m + pad)
     else:
-        raise NotImplementedError(f"2-D sharding supports dense/ELL A, got {type(A)}")
+        raise NotImplementedError(
+            f"2-D sharding supports dense/ELL A, got {type(A)}. For "
+            "bandable instances block-sharded layout='banded' already "
+            "row-shards (group windows advance with the rows; 3.3% halo "
+            "measured — BASELINE.md round 4), so a row axis adds nothing."
+        )
     if pad:
         b = np.concatenate([b, np.zeros((b.shape[0], pad), b.dtype)], axis=1)
     problem = replace(problem, A=A, b=b)

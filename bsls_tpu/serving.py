@@ -199,6 +199,12 @@ class Endpoint:
 
             from .parallel.sharding import solve_sharded
 
+            # refine on the pod-sharded endpoint: solve sharded, then
+            # gather-and-polish against the host Problem with this
+            # request's b (the host f64 CG path — same as
+            # solve(mesh=..., refine=K))
+            refine = int(kw.pop("refine", 0))
+            refine_tol = kw.pop("refine_tol", None)
             b = np.asarray(b, dtype=np.dtype(jnp.dtype(self.dtype).name))
             single = b.ndim == 1
             if single:
@@ -214,12 +220,21 @@ class Endpoint:
             dp, part = self._sharded
             dp_b = dc_replace(dp, b=jax.device_put(
                 jnp.asarray(b, self.dtype), self._b_sharding))
-            return solve_sharded(
+            res = solve_sharded(
                 (dp_b, part, single), self.mesh, method=self.method,
                 line_search=self.line_search, tol=tol, max_iter=max_iter,
                 chunk=self.chunk, dtype=self.dtype, x0=x0,
                 lipschitz=self._lip, **kw,
             )
+            if refine > 0:
+                from .solvers.base import refine_polish
+
+                prob = dc_replace(
+                    self._problem,
+                    b=np.asarray(b[0] if single else b, np.float64))
+                res = refine_polish(prob, None, res, rounds=refine,
+                                    target_rel_gap=refine_tol)
+            return res
         # refine needs the host Problem (f64 anchor) — run the polish here,
         # against this request's b, instead of inside solve(dp) which only
         # sees the DeviceProblem.  The polish reuses its jitted CG across

@@ -491,26 +491,54 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
 
     F = np.array([obj_s(X[s], s) for s in range(S)])
     it_extra = 0
+    # certified mode always corrects on the host: the f64 Jacobi-PCG is
+    # what makes the certificate tight (the fp32-delta device CG floors
+    # the FW gap at ~1.6e-5 on medium — round-3 weak #9), while plain
+    # refine=K keeps the device path (faster per round on the tunnel and
+    # the 1e-12 objective quality is identical)
+    use_host = dp is None or target_rel_gap is not None
     if dp is not None:
         perm_h = np.asarray(dp.perm)
         sel = perm_h >= 0
+    if use_host:
+        from ..ops.layout import _col_norms_sq
+        from ..utils.hostops import host_matmat_ops
+
+        _coln = _col_norms_sq(problem.A)  # diag(A^T A): Jacobi preconditioner
+        _nat = host_matmat_ops(problem.A)  # OpenMP SpMM (scipy fallback)
+        if _nat is not None:
+            _mm, _rmm = _nat
     cert = None  # f64 FW-gap certificate of the CURRENT X (relative, worst s)
 
-    def _cert(g0_):
+    def _cert_vec(g0_):
         from ..models.oracle import fw_gap_np
 
-        return max(
+        return np.array([
             fw_gap_np(g0_[s], X[s], sizes) / max(1.0, abs(F[s]))
             for s in range(S)
-        )
+        ])
 
+    # certified mode needs enough CG to resolve the face: 30 device
+    # iterations suffice for the 1e-12 objective but not for a tight
+    # certificate, and when a round's steps are all rejected the budget
+    # escalates (doubling, capped) instead of giving up — the remaining
+    # FW gap lives in near-null face directions that barely move f
+    cg_now = cg_iters if target_rel_gap is None else max(cg_iters, 200)
+    cg_cap = max(cg_now, 1600)
+    # per-scenario convergence mask: certified scenarios drop out of the
+    # host PCG and step phases (measured medium x32: most scenarios
+    # certify in the first rounds — without masking every round pays the
+    # full 32-wide SpMM train for a shrinking set of stragglers)
+    active = np.ones(S, bool)
     for _ in range(rounds):
         # f64 host anchor, one SpMM across scenarios
         r0 = _mm(X) - B
         g0 = _rmm(r0)
         if target_rel_gap is not None:
-            cert = _cert(g0)
-            if cert <= target_rel_gap:
+            certv = _cert_vec(g0)
+            cert = float(certv.max())
+            active = certv > target_rel_gap
+            if not active.any():
                 break
         free = (X > 1e-12).astype(np.float64)
         cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
@@ -523,46 +551,69 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         cnt = np.maximum(np.add.reduceat(free, offsets, axis=-1), 1.0)
         gsum = np.add.reduceat(g0 * free, offsets, axis=-1)
         g0t = (g0 - np.repeat(gsum / cnt, sizes, axis=-1)) * free
-        if dp is None:
-            # host float64 CG on the same tangent-subspace normal equations
-            # (P A^T A P d = -P g0).  Used when no single-device
+        if use_host:
+            # host float64 Jacobi-PCG on the same tangent-subspace normal
+            # equations (P A^T A P d = -P g0).  Used when no single-device
             # DeviceProblem exists — mesh-sharded results are gathered to
             # the host and polished here; batched over scenarios with
             # per-scenario CG scalars.  f64 throughout, so the correction
-            # is exact to the face (the device path resolves it to fp32
-            # at delta scale — equivalent in practice, see docstring).
-            def tproj(V):
-                V = V * free
-                sm = np.add.reduceat(V, offsets, axis=-1)
-                return (V - np.repeat(sm / cnt, sizes, axis=-1)) * free
+            # is exact to the face (the device path resolves it to fp32 at
+            # delta scale).  The diag(A^T A) preconditioner is the
+            # certificate lever: measured on medium-scale (BASELINE.md
+            # round 4), the f64 FW-gap certificate drops 7.8e-5 -> 9.9e-10
+            # at the same 200-iteration CG budget, which is what lets
+            # refine_tol=1e-6 CERTIFY instead of capping out.
+            idx = np.nonzero(active)[0]
+            freea, cnta, g0ta = free[idx], cnt[idx], g0t[idx]
 
-            D = np.zeros_like(g0t)
-            R = -g0t  # g0t = P g0 already
-            Pd = R.copy()
-            rs = np.einsum("sn,sn->s", R, R)
-            rs0 = rs.copy()
-            for _ in range(cg_iters):
-                if float(np.max(rs / np.maximum(rs0, 1e-300))) <= 1e-26:
+            def tproj(V):
+                V = V * freea
+                sm = np.add.reduceat(V, offsets, axis=-1)
+                return (V - np.repeat(sm / cnta, sizes, axis=-1)) * freea
+
+            Minv = freea / np.maximum(_coln[None, :], 1e-30)
+
+            def prec(V):
+                # V (the CG residual) stays in the tangent space by the
+                # projected-CG invariants, so one projection after the
+                # diagonal scaling suffices — the inner tproj(V) and the
+                # pre-H tproj(Pd) were measured as ~40% of certified x32
+                # polish wall time and are redundant in exact arithmetic
+                return tproj(Minv * V)
+
+            Da = np.zeros_like(g0ta)
+            R = -g0ta  # g0t = P g0 already
+            Z = prec(R)
+            Pd = Z.copy()
+            rz = np.einsum("sn,sn->s", R, Z)
+            rz0 = rz.copy()
+            for _ in range(cg_now):
+                if float(np.max(rz / np.maximum(rz0, 1e-300))) <= 1e-28:
                     break
-                HP = tproj(_rmm(_mm(tproj(Pd))))
+                HP = tproj(_rmm(_mm(Pd)))
                 den = np.einsum("sn,sn->s", Pd, HP)
-                alpha = np.where(den > 1e-300, rs / np.maximum(den, 1e-300), 0.0)
-                D += alpha[:, None] * Pd
+                alpha = np.where(den > 1e-300, rz / np.maximum(den, 1e-300), 0.0)
+                Da += alpha[:, None] * Pd
                 R -= alpha[:, None] * HP
-                rs_new = np.einsum("sn,sn->s", R, R)
-                beta = np.where(rs > 1e-300, rs_new / np.maximum(rs, 1e-300), 0.0)
-                Pd = R + beta[:, None] * Pd
-                rs = rs_new
+                Z = prec(R)
+                rz_new = np.einsum("sn,sn->s", R, Z)
+                beta = np.where(rz > 1e-300, rz_new / np.maximum(rz, 1e-300), 0.0)
+                Pd = Z + beta[:, None] * Pd
+                rz = rz_new
+            D = np.zeros_like(g0t)
+            D[idx] = Da
         else:
             free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
             g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
             d_pf = _polish_cg_batch(dp, jnp.asarray(free_pf, jnp.float32),
                                     g0t_pf, cg_iters)
             D = np.asarray(_polish_extract_batch(dp, d_pf), np.float64)
-        it_extra += cg_iters
+        it_extra += cg_now if use_host else cg_iters
         # per-scenario backtracked clipped step, f64 objective decides
         any_accepted = False
         for s in range(S):
+            if not active[s]:
+                continue  # already certified: frozen
             t = 1.0
             for _k in range(24):
                 xc = repair(X[s] + t * D[s])
@@ -573,12 +624,16 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                     break
                 t *= 0.5
         if not any_accepted:
+            if (target_rel_gap is not None and cert is not None
+                    and cert > target_rel_gap and cg_now < cg_cap):
+                cg_now = min(2 * cg_now, cg_cap)
+                continue
             break
         cert = None  # steps moved X: the round-start certificate is stale
     if target_rel_gap is not None and cert is None:
         # certify the final iterate (one extra f64 anchor pair)
         g0 = _rmm(_mm(X) - B)
-        cert = _cert(g0)
+        cert = float(_cert_vec(g0).max())
     return SolveResult(
         x=X if multi else X[0],
         objective=np.asarray(F if multi else F[0]),

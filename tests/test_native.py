@@ -113,3 +113,41 @@ def test_csc_ell_float64_and_empty_columns():
     assert vals.dtype == np.float64
     assert rows.shape == (4, 2)
     np.testing.assert_array_equal((vals != 0).sum(axis=1), [1, 0, 2, 0])
+
+
+def test_csr_matmat_f64_matches_scipy():
+    """The OpenMP SpMM (certified-refine hot path) must match scipy to
+    f64 roundoff for single- and multi-RHS shapes, including empty rows,
+    and the hostops closures must round-trip A and A^T."""
+    import scipy.sparse as sp
+
+    from bsls_tpu.utils.hostops import host_matmat_ops
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    A = sp.random(300, 200, density=0.05, format="csr", random_state=3)
+    A.data = rng.standard_normal(A.data.size)
+    # force an empty row and an empty column
+    A = sp.csr_matrix(A.toarray() * (np.arange(300) != 17)[:, None]
+                      * (np.arange(200) != 5)[None, :])
+    for S in (1, 5):
+        X = rng.standard_normal((S, 200))
+        Y = native.csr_matmat_f64(
+            np.ascontiguousarray(A.indptr, np.int64),
+            np.ascontiguousarray(A.indices, np.int32),
+            np.ascontiguousarray(A.data, np.float64),
+            300, np.ascontiguousarray(X))
+        np.testing.assert_allclose(Y, (A @ X.T).T, rtol=1e-13, atol=1e-13)
+
+    class _Wrap:
+        def to_scipy(self):
+            return A
+
+    mm, rmm = host_matmat_ops(_Wrap())
+    X = rng.standard_normal((3, 200))
+    R = rng.standard_normal((3, 300))
+    np.testing.assert_allclose(mm(X), (A @ X.T).T, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(rmm(R), (A.T @ R.T).T, rtol=1e-13, atol=1e-13)

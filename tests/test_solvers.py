@@ -408,7 +408,8 @@ def test_refine_tol_stops_early_when_certified():
     base = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400)
     res = bsls.solve(prob, method="lbfgs", tol=0.0, max_iter=400,
                      refine=20, refine_tol=1e-7)
-    rounds_run = (res.iterations - base.iterations) / 30  # cg_iters=30
+    # certified mode runs >= 200 CG iterations per executed round
+    rounds_run = (res.iterations - base.iterations) / 200
     assert res.refine_fw_gap is not None and res.refine_fw_gap <= 1e-7
     assert rounds_run < 20, rounds_run
 
