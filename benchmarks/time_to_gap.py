@@ -109,7 +109,7 @@ def main(argv=None):
     if ref == "certified":
         f_star, ref_cert = _certified_reference(
             bsls, prob, key, S, method=args.ref_method,
-            iters=args.ref_iters, tol=args.tol)
+            iters=args.ref_iters, tol=args.tol, chunk=args.chunk)
         if S == 1:
             f_star = np.asarray(float(f_star))
     else:
@@ -169,7 +169,7 @@ def main(argv=None):
 
 def _certified_reference(bsls, prob, key: str | None, S: int,
                          method: str = "lbfgs", iters: int = 1500,
-                         tol: float = 1e-6):
+                         tol: float = 1e-6, chunk: int = 100):
     """Oracle-free reference objectives, pinned by a certificate.
 
     A deep fp32 solve + certified f64 polish rounds (refine_tol, Jacobi-PCG
@@ -194,7 +194,7 @@ def _certified_reference(bsls, prob, key: str | None, S: int,
         return np.asarray(d["objectives"]), d["cert_rel"]
     m, _, ls = method.partition("/")
     res = bsls.solve(prob, method=m, line_search=ls or "exact", tol=0.0,
-                     max_iter=iters, chunk=100, refine=12,
+                     max_iter=iters, chunk=chunk, refine=12,
                      refine_tol=0.1 * tol)
     X = np.atleast_2d(np.asarray(res.x, np.float64))
     B = np.atleast_2d(np.asarray(prob.b, np.float64))
