@@ -43,6 +43,14 @@ def main(argv=None):
         "honest — fp32 alone floors at ~2e-6..1e-5 true gap on medium",
     )
     p.add_argument(
+        "--refine-cert", type=int, default=1,
+        help="1 (default): schedule-point refines run certified "
+        "(refine_tol=tol, host f64 Jacobi-PCG — each point ships its own "
+        "certificate).  0: device-path refine only — crossing is still "
+        "measured on f64 host evaluations vs the reference, but no "
+        "per-point certificate; the right choice at config-4 scale where "
+        "one certified PCG pass costs minutes of host SpMM.")
+    p.add_argument(
         "--scenarios", type=int, default=1,
         help="S>1 measures the HONEST multi-RHS metric: time until EVERY "
         "scenario's f64-evaluated gap is <= tol.  Per-scenario references "
@@ -127,9 +135,11 @@ def main(argv=None):
         rate = warm.steady_iters_per_sec()
         cross_k, gap_at_cross, refine_secs, cert = None, None, 0.0, None
         for K in SCHEDULE:
-            res = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
-                             max_iter=K, chunk=args.chunk, refine=args.refine,
-                             refine_tol=args.tol if args.refine else None)
+            res = bsls.solve(
+                prob, method=method, line_search=ls, tol=0.0,
+                max_iter=K, chunk=args.chunk, refine=args.refine,
+                refine_tol=(args.tol if args.refine and args.refine_cert
+                            else None))
             f64 = np.asarray(prob.objective_np(np.asarray(res.x, np.float64)))
             rel = (f64 - f_star) / np.maximum(1.0, np.abs(f_star))
             if np.all(rel <= args.tol):  # S>1: EVERY scenario must cross

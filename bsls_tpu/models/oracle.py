@@ -234,7 +234,7 @@ def oracle_solve_eq(
             if d_sel.ndim == 2:
                 d_sel = d_sel[s]
         prob1 = dc_replace(problem, b=b_sel, d=d_sel, x_true=None)
-        x_d, lam_d, ok = prox_bpp_polish(prob1, warm.x)
+        x_d, lam_d, ok = prox_bpp_polish(prob1, warm.x, dual_rtol=1e-12)
         if ok:
             C_sp = sp.csr_matrix(problem.C.to_scipy()).astype(np.float64)
             A_sp = sp.csr_matrix(problem.A.to_scipy()).astype(np.float64)

@@ -436,6 +436,7 @@ def prox_bpp_polish(
     eps_min_rel: float = 1e-9,
     prox_outers: int = 12,
     max_kkt: int = 3000,
+    dual_rtol: float = 1e-9,
     debug: bool = False,
 ):
     """Exact float64 constrained optimum at serving scale: a proximal-point
@@ -555,7 +556,13 @@ def prox_bpp_polish(
                 w_red = w_red + C_csr.T @ mu[B_blocks:]
             gscale = max(1.0, float(np.abs(w_red).max()))
             prim_bad = free & (y < -1e-12)
-            dual_bad = (~free) & (w_red < -1e-9 * gscale)
+            # dual_rtol sets how clean the complementarity signs must be
+            # relative to the gradient scale — it bounds the Lagrangian
+            # dual-bound deficit (each pinned coord with w in
+            # (-dual_rtol*gscale, 0) leaks up to |w| into the
+            # certificate).  Serving keeps 1e-9 (latency first);
+            # oracle_solve_eq(direct=) passes 1e-12 for a tight bound.
+            dual_bad = (~free) & (w_red < -dual_rtol * gscale)
             nviol = int(prim_bad.sum() + dual_bad.sum())
             if debug:
                 print(f"[bpp] rnd={rnd} prim={int(prim_bad.sum())} "

@@ -11,7 +11,18 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # The XLA CPU collective rendezvous ships a 40 s termination deadline:
+    # if the 8 virtual-device threads (4 physical cores here) miss it —
+    # which happens when benches/oracles load the machine concurrently —
+    # XLA calls abort() and kills the whole pytest process (diagnosed
+    # round 4: "Termination timeout for `all reduce ...` of 40 seconds
+    # exceeded", rendezvous.cc).  Tests check correctness, not latency;
+    # give the rendezvous 10 minutes.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+             " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120").strip()
+os.environ["XLA_FLAGS"] = flags
 
 if not os.environ.get("BSLS_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
