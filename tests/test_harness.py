@@ -304,3 +304,30 @@ def test_time_to_gap_multi_rhs(tmp_path):
     assert row["cross_iter_le"] is not None
     assert row["rel_gap_at_cross"] <= row["tol"]
     assert (tmp_path / "oracle_tiny_0_x3.json").exists()
+
+
+@pytest.mark.slow
+def test_time_to_gap_keep_eq(tmp_path):
+    """Config-3 honest metric: --keep-eq measures the certified
+    equality-constrained solve end-to-end (AL + active-set finisher)
+    against the certified eq oracle, reporting wall time only when both
+    the f64 objective gap and the constraint violation cross tol."""
+    prob = synthetic.traffic_like(seed=0, num_blocks=24, m=48, num_eq=3,
+                                  noise=0.0)
+    path = str(tmp_path / "eq_instance.npz")
+    prob.save_npz(path)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "time_to_gap.py"),
+         "--config", path, "--keep-eq", "--methods", "apgd",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "BSLS_CACHE_DIR": str(tmp_path)},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    assert row["eq"] is True and row["ref"] == "eq_oracle"
+    assert row["time_to_gap_s"] is not None  # crossed: gap AND violation
+    assert row["rel_gap"] <= row["tol"]
+    assert row["eq_violation"] <= row["tol"]
+    assert row["refine_fw_gap"] <= 1e-6  # sound dual-bound certificate
