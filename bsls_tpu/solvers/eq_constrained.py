@@ -81,6 +81,12 @@ def solve_equality_constrained(
     solves run mesh-sharded (the stacked [A; sqrt(rho) C] operator shards
     like any other instance).
 
+    ``max_iter`` is the TOTAL inner-iteration budget across all outer
+    iterations (matching the unconstrained ``solve`` semantics); each
+    outer runs at most ``min(inner_iters, remaining_budget)``.  A solve
+    stopped by the budget reports its honest ``eq_violation`` and
+    ``converged`` flags rather than silently running past the budget.
+
     ``lam0``/``rho_init``/``x0`` warm-start the augmented-Lagrangian state
     (serving.Endpoint feeds the previous request's converged state back in
     — for streaming b the optimal multipliers move slowly, so warm outer
@@ -181,6 +187,16 @@ def solve_equality_constrained(
         key = key + ("mesh", id(mesh))
     dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
     for outer in range(start_outer, outer_iters):
+        # max_iter is the TOTAL inner-iteration budget across outers (the
+        # unconstrained surface's budget semantics; it was silently ignored
+        # here before round 4) — each outer gets the smaller of inner_iters
+        # and what remains.  The default 10_000 exceeds every measured
+        # converged AL run (traffic: 3.6k-7k total inners), so it binds
+        # only when a caller asks for a genuine budget.
+        budget = max_iter - total_iters
+        if budget <= 0:
+            break
+        this_inner = min(inner_iters, budget)
         sr = np.sqrt(rho)
         b_bot = sr * (d - lam / rho)  # (p,) or (S, p)
         b_stacked = np.concatenate([b, b_bot], axis=-1)
@@ -233,7 +249,7 @@ def solve_equality_constrained(
             )
             result = solve_sharded(
                 (dp, part_sh, not multi), mesh, method=method, tol=tol,
-                max_iter=inner_iters, chunk=chunk, line_search=line_search,
+                max_iter=this_inner, chunk=chunk, line_search=line_search,
                 step_size=step_size, dtype=dtype, x0=x_prev, unroll=unroll,
                 lbfgs_mem=lbfgs_mem, metrics=metrics,
                 lipschitz=L_base + max(0.0, rho - rho_base) * LC,
@@ -280,7 +296,7 @@ def solve_equality_constrained(
                 b=jnp.asarray(b_stacked, dp_cache.b.dtype),
             )
             result = solve(
-                dp, method=method, tol=tol, max_iter=inner_iters, chunk=chunk,
+                dp, method=method, tol=tol, max_iter=this_inner, chunk=chunk,
                 line_search=line_search, step_size=step_size, dtype=dtype,
                 x0=x_prev,  # warm-start from the previous outer iterate
                 unroll=unroll, lbfgs_mem=lbfgs_mem, metrics=metrics,

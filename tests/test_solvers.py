@@ -112,6 +112,18 @@ def test_equality_constrained_solve():
     assert float(res.objective) <= 1e-9 * f0
 
 
+def test_equality_constrained_max_iter_budget():
+    """max_iter caps the TOTAL inner iterations across AL outers (it was
+    silently ignored on the eq path before round 4)."""
+    prob = synthetic.traffic_like(num_blocks=40, m=200, num_eq=10, noise=0.0)
+    res = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=150, chunk=50)
+    assert res.iterations <= 150
+    # an unbudgeted control run uses more than the budget (so the cap bound)
+    res_full = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=4000,
+                          chunk=200)
+    assert res_full.iterations > 150
+
+
 def test_afw_beats_plain_fw(tiny):
     """Away/pairwise steps must fix plain FW's sublinear zig-zag (the round-1
     sweep had FW 4 orders of magnitude behind the field, VERDICT.md)."""
