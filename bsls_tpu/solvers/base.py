@@ -21,6 +21,7 @@ chunk boundary to stop fp drift.
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, replace
 from functools import partial
@@ -571,6 +572,14 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 sm = np.add.reduceat(V, offsets, axis=-1)
                 return (V - np.repeat(sm / cnta, sizes, axis=-1)) * freea
 
+            # Preconditioner: diagonal Jacobi.  An exact per-block
+            # tangent-space KKT (block-Jacobi) preconditioner was built and
+            # A/B'd (round 4): rz decay was IDENTICAL (~3.5 decades / 10
+            # iterations, both exit at ~80) and wall time 31% WORSE from
+            # the per-round batched (w+1)x(w+1) factorizations — on
+            # equilibrated instances the within-block curvature is already
+            # captured by the diagonal; the PCG is limited by cross-block
+            # coupling.  Negative result recorded in BASELINE.md.
             Minv = freea / np.maximum(_coln[None, :], 1e-30)
 
             def prec(V):
@@ -587,8 +596,13 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
             Pd = Z.copy()
             rz = np.einsum("sn,sn->s", R, Z)
             rz0 = rz.copy()
-            for _ in range(cg_now):
-                if float(np.max(rz / np.maximum(rz0, 1e-300))) <= 1e-28:
+            _trace = os.environ.get("BSLS_PCG_TRACE") == "1"
+            for _cg_k in range(cg_now):
+                _ratio = float(np.max(rz / np.maximum(rz0, 1e-300)))
+                if _trace and _cg_k % 10 == 0:
+                    print(f"    pcg it={_cg_k} max rz/rz0={_ratio:.3e}",
+                          flush=True)
+                if _ratio <= 1e-28:
                     break
                 HP = tproj(_rmm(_mm(Pd)))
                 den = np.einsum("sn,sn->s", Pd, HP)
@@ -694,8 +708,9 @@ def solve(
     is float64 and ``objective`` is its f64 value.  ``refine_tol`` makes
     the polish adaptive AND certified: rounds stop as soon as the float64
     FW duality gap certifies every scenario to the target relative gap
-    (``refine`` caps the rounds), and the certificate is returned as
-    ``res.refine_fw_gap``.
+    (``refine`` caps the rounds; when ``refine_tol`` is given alone the
+    cap defaults to 16 rounds instead of silently skipping the polish),
+    and the certificate is returned as ``res.refine_fw_gap``.
 
     ``lipschitz`` skips the on-device power iteration and uses the given
     ||A||_2^2 bound for the 1/L trial step (the augmented-Lagrangian outer
@@ -731,6 +746,12 @@ def solve(
             unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, refine=refine,
             refine_tol=refine_tol,
         )
+    if refine_tol is not None and refine == 0:
+        # certified mode with no explicit round cap: default the cap to 16
+        # rounds instead of silently ignoring refine_tol (eq solves above
+        # treat refine_tol as standalone — there the certificate is an AL
+        # dual bound, not a polish loop, so no cap is needed)
+        refine = 16
     if mesh is not None:
         from ..parallel.sharding import solve_sharded
 

@@ -412,6 +412,17 @@ def test_refine_tol_certificate_is_sound():
     assert true_rel <= res.refine_fw_gap + 1e-12  # certificate is sound
 
 
+def test_refine_tol_alone_defaults_round_cap():
+    """refine_tol without refine must still run the certified polish
+    (default 16-round cap) instead of silently returning the fp32 result
+    with refine_fw_gap=None (round-4 fix: the eq surface already treated
+    refine_tol as standalone; the unconstrained surface now agrees)."""
+    prob = synthetic.tiny_dense(seed=1, num_blocks=20, dim=6, m=150)
+    res = bsls.solve(prob, method="pgd", line_search="bb", max_iter=400,
+                     refine_tol=1e-7)
+    assert res.refine_fw_gap is not None and res.refine_fw_gap <= 1e-7
+
+
 def test_refine_tol_stops_early_when_certified():
     """On a well-conditioned instance the certificate tightens with the
     iterate, so a generous target stops the polish before the rounds cap
