@@ -14,6 +14,7 @@ from .models import (
     OracleResult,
     Problem,
     oracle_solve,
+    oracle_solve_eq,
     synthetic,
 )
 from .solvers import SolveResult, solve, solve_equality_constrained

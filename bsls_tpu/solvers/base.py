@@ -731,8 +731,6 @@ def solve(
             "certify": certify > 0, "metrics": metrics is not None,
             "checkpoint_path": checkpoint_path is not None, "resume": resume,
             "lipschitz": lipschitz is not None,
-            "refine+mesh": refine > 0 and mesh is not None,
-            "refine_tol+mesh": refine_tol is not None and mesh is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:

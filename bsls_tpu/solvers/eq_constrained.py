@@ -346,17 +346,20 @@ def solve_equality_constrained(
     # polish was prototyped and rejected: from an fp32 support the
     # active-set walk degenerates — blocked steps at ~1e-8 coords, 100+
     # pivots).  Use models.oracle_solve_eq for certified optima on those.
-    # Single-device only (the polish CG runs on the cached stacked
-    # DeviceProblem).
+    # Single-device: the polish CG runs on the cached stacked
+    # DeviceProblem (fp32 at delta scale).  Mesh-sharded: the result is
+    # already gathered to the host after each outer, so the polish runs
+    # refine_polish's host float64 Jacobi-PCG path (dp=None) against the
+    # host stacked Problem — same mechanism as unconstrained mesh refine.
     if refine > 0:
-        if mesh is not None:
-            raise ValueError(
-                "refine is not supported for mesh-sharded eq solves")
         from dataclasses import replace as dc_replace
 
         from .base import SolveResult, refine_polish
 
-        dp_stacked = dp_cache  # single-device cache IS the DeviceProblem
+        mesh_mode = mesh is not None
+        # single-device cache IS the DeviceProblem; the mesh cache holds a
+        # sharded triple the polish cannot use — host path instead
+        dp_stacked = None if mesh_mode else dp_cache
         x = np.asarray(result.x, np.float64)
         # feasibility guard: the exact subproblem optimum can be LESS
         # feasible than the fp32 AL's incidental iterate (the AL trades
@@ -374,7 +377,7 @@ def solve_equality_constrained(
                 partition=problem.partition,
                 name=problem.name + "+eq",
             )
-            dp_pol = dc_replace(
+            dp_pol = None if mesh_mode else dc_replace(
                 dp_stacked,
                 A=dc_replace(dp_stacked.A,
                              bottom_scale=jnp.asarray(sr, dp_stacked.b.dtype)),

@@ -523,15 +523,42 @@ def test_eq_refine_tol_certified():
     assert true_rel <= res.refine_fw_gap + 1e-10, (true_rel, res.refine_fw_gap)
 
 
-def test_eq_refine_tol_mesh_rejected():
+def test_eq_refine_mesh_matches_unsharded():
+    """refine=K on a mesh-sharded eq solve (round 4: the guard is lifted —
+    the finishing outers run refine_polish's host f64 PCG path on the
+    gathered iterate).  Must reach the same feasibility/objective quality
+    as the single-device refine."""
     import jax
 
     from bsls_tpu.parallel import make_mesh
 
     prob = synthetic.traffic_like(seed=0, num_blocks=12, m=60, num_eq=4)
     mesh = make_mesh(block=len(jax.devices()))
-    with pytest.raises(ValueError, match="refine_tol"):
-        bsls.solve(prob, method="pgd", max_iter=10, refine_tol=1e-6, mesh=mesh)
+    r0 = bsls.solve(prob, method="pgd", line_search="bb", max_iter=2000,
+                    refine=3)
+    r1 = bsls.solve(prob, method="pgd", line_search="bb", max_iter=2000,
+                    refine=3, mesh=mesh)
+    assert r1.eq_violation <= max(1e-9, 3.0 * r0.eq_violation), (
+        r1.eq_violation, r0.eq_violation)
+    f0, f1 = float(r0.objective), float(r1.objective)
+    assert f1 <= f0 + 1e-6 * max(1.0, abs(f0)), (f1, f0)
+
+
+def test_eq_refine_tol_mesh_certifies():
+    """refine_tol on a mesh-sharded eq solve ships the same sound
+    certificate as the single-device path (the bound machinery is
+    host-side and sees the gathered iterate)."""
+    import jax
+
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.traffic_like(seed=0, num_blocks=12, m=60, num_eq=4)
+    mesh = make_mesh(block=len(jax.devices()))
+    res = bsls.solve(prob, method="pgd", line_search="bb", max_iter=2000,
+                     refine_tol=1e-8, mesh=mesh)
+    assert res.refine_fw_gap is not None and res.refine_fw_gap <= 1e-8, (
+        res.refine_fw_gap)
+    assert res.eq_violation <= 1e-9, res.eq_violation
 
 
 @pytest.mark.slow
