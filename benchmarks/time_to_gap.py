@@ -77,10 +77,10 @@ def main(argv=None):
         "the only practical choice at config-4 scale (8M vars), and the "
         "existing behavior for multi-RHS.  Defaults: certified for "
         "multi-RHS and for --config large, oracle otherwise.")
-    p.add_argument("--ref-method", default="lbfgs",
-                   help="solver for the certified reference (pgd/bb at "
-                   "config-4 scale: lbfgs memory does not fit next to the "
-                   "2 GB instance)")
+    p.add_argument("--ref-method", default=None,
+                   help="solver for the certified reference; default lbfgs, "
+                   "but pgd/bb for --config large (measured r4: the lbfgs "
+                   "history OOMs the chip next to the 2 GB instance)")
     p.add_argument("--ref-iters", type=int, default=1500)
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
@@ -127,10 +127,12 @@ def main(argv=None):
         prob = with_scenarios(prob, S)
     ref = args.ref or ("certified" if (S > 1 or args.config == "large")
                        else "oracle")
+    ref_method = args.ref_method or (
+        "pgd/bb" if args.config == "large" else "lbfgs")
     ref_cert = None
     if ref == "certified":
         f_star, ref_cert = _certified_reference(
-            bsls, prob, key, S, method=args.ref_method,
+            bsls, prob, key, S, method=ref_method,
             iters=args.ref_iters, tol=args.tol, chunk=args.chunk)
         if S == 1:
             f_star = np.asarray(float(f_star))
