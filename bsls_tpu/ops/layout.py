@@ -517,9 +517,18 @@ def to_device_matrix(
         bottom = M.bottom
         if isinstance(bottom, ScaledMatrix):
             scale, bottom = bottom.scale, bottom.inner
+        # row_shards > 1: row-sharded stacked operator (eq over a tall-A
+        # mesh) — EACH part's rows shard over the axis, so device k owns
+        # the locally-stacked [top_k; scale*bottom_k] and the caller must
+        # interleave b to match (parallel.sharding.interleave_stacked_rows).
+        # matvec/rmatvec resolve the top/bottom boundary dynamically
+        # (_vstack_top_rows), so the same DeviceVStack is consistent both
+        # inside shard_map (local rows) and on the global/abstract view.
         return DeviceVStack(
-            top=to_device_matrix(M.top, perm, dtype, col_scale, n_shards),
-            bottom=to_device_matrix(bottom, perm, dtype, col_scale, n_shards),
+            top=to_device_matrix(M.top, perm, dtype, col_scale, n_shards,
+                                 row_shards=row_shards),
+            bottom=to_device_matrix(bottom, perm, dtype, col_scale, n_shards,
+                                    row_shards=row_shards),
             bottom_scale=jnp.asarray(scale, dtype),
             split=M.top.shape[0],
         )
@@ -909,6 +918,21 @@ def gather_dot(vals: jnp.ndarray, idx: jnp.ndarray, vec: jnp.ndarray) -> jnp.nda
     return y.reshape(rows)
 
 
+def _vstack_top_rows(A: "DeviceVStack") -> int:
+    """Rows contributed by the top part of a DeviceVStack in the CURRENT
+    view.  Dense tops read their (possibly shard-sliced) data shape and
+    row-sharded ELL tops their (n_shards, m_loc) encoding, so the boundary
+    is local inside shard_map and global outside — the static ``split``
+    only covers the plain (unsharded-rows) ELL encodings, whose arrays
+    don't carry a row count."""
+    t = A.top
+    if isinstance(t, DeviceDense):
+        return t.data.shape[0]
+    if getattr(t, "row_sharded", False):
+        return t.mv_cols.shape[0] * t.mv_cols.shape[1]
+    return A.split
+
+
 def matvec(A: DeviceMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """A @ x for PF flat x (shard-local partial result when sharded)."""
     from .banded import DeviceBanded, banded_matvec
@@ -987,7 +1011,8 @@ def rmatvec(A: DeviceMatrix, r: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("mn,m->n", A.data, r,  # HIGHEST: see matvec note
                           precision=jax.lax.Precision.HIGHEST)
     if isinstance(A, DeviceVStack):
-        return rmatvec(A.top, r[: A.split]) + A.bottom_scale * rmatvec(A.bottom, r[A.split :])
+        split = _vstack_top_rows(A)
+        return rmatvec(A.top, r[:split]) + A.bottom_scale * rmatvec(A.bottom, r[split:])
     if A.grid_sharded:
         nr, nc = A.rows.shape[:2]
         if nr == 1 and nc == 1:

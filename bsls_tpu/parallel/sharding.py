@@ -208,6 +208,22 @@ def shard_problem(problem: Problem, mesh, dtype=jnp.float32,
     return dp, part
 
 
+def interleave_stacked_rows(b_top: np.ndarray, b_bot: np.ndarray,
+                            nr: int) -> np.ndarray:
+    """Arrange a stacked RHS [b_top; b_bot] ((S, m) and (S, p)) into the
+    row-sharded VStack device layout, where shard k owns the locally
+    stacked rows [top_k; bottom_k]: pad each part to a multiple of nr,
+    split it into nr row segments, and concatenate segment-wise."""
+    S = b_top.shape[0]
+    bt = np.concatenate(
+        [b_top, np.zeros((S, (-b_top.shape[1]) % nr), b_top.dtype)], axis=1)
+    bb = np.concatenate(
+        [b_bot, np.zeros((S, (-b_bot.shape[1]) % nr), b_bot.dtype)], axis=1)
+    bt = bt.reshape(S, nr, -1)
+    bb = bb.reshape(S, nr, -1)
+    return np.concatenate([bt, bb], axis=2).reshape(S, -1)
+
+
 def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
     """Row-sharded preparation (tall-A / SP-analog): A's ROWS and r are
     sharded over the block axis, x is replicated.  Dense A shards by row
@@ -215,8 +231,16 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
     (L._build_ell_row_sharded) with local row ids, so each device gathers
     only from its own r segment and A^T r partials psum.  Rows are
     zero-padded so the axis divides m (zero rows contribute nothing to a
-    least-squares residual)."""
-    from ..models.problem import DenseMatrix, EllMatrix
+    least-squares residual).
+
+    A stacked ``VStackMatrix`` (the eq path's [A; sqrt(rho) C]) row-shards
+    BOTH parts: device k owns the locally stacked [A_k; sr*C_k], and b is
+    interleaved to match (``interleave_stacked_rows``); the resulting dp is
+    meant for shard_map execution (matvec/rmatvec resolve the local
+    top/bottom boundary from the array shapes)."""
+    from ..models.problem import (
+        DenseMatrix, EllMatrix, ScaledMatrix, VStackMatrix,
+    )
 
     nr = mesh.shape[BLOCK_AXIS]
     ns = mesh.shape[SCENARIO_AXIS]
@@ -228,6 +252,40 @@ def shard_problem_rows(problem: Problem, mesh, dtype=jnp.float32):
     m = problem.A.shape[0]
     pad = (-m) % nr
     row_shards = 1
+    if isinstance(problem.A, VStackMatrix):
+        # stacked eq operator: row-shard BOTH parts, interleave b so each
+        # device's b segment is its locally stacked [b_top_k; b_bot_k]
+        vs = problem.A
+        top, bot, scale = vs.top, vs.bottom, None
+        if isinstance(bot, ScaledMatrix):
+            scale, bot = bot.scale, bot.inner
+        mt = top.shape[0]
+
+        def _pad_rows(M, padr):
+            if padr == 0:
+                return M
+            if isinstance(M, DenseMatrix):
+                return DenseMatrix(np.concatenate(
+                    [M.data, np.zeros((padr, M.shape[1]), M.data.dtype)],
+                    axis=0))
+            return EllMatrix(rows=M.rows, vals=M.vals,
+                             num_rows=M.shape[0] + padr)
+
+        top_p = _pad_rows(top, (-mt) % nr)
+        bot_p = _pad_rows(bot, (-bot.shape[0]) % nr)
+        A = VStackMatrix(
+            top=top_p,
+            bottom=ScaledMatrix(bot_p, scale) if scale is not None else bot_p,
+        )
+        b = interleave_stacked_rows(b[:, :mt], b[:, mt:], nr)
+        problem = replace(problem, A=A, b=b)
+        dp = L.prepare(problem, dtype=dtype, n_shards=1,
+                       row_axis=BLOCK_AXIS, row_shards=nr)
+        specs = dp_specs(dp, rows=True)
+        dp = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), dp, specs
+        )
+        return dp, problem.partition
     if isinstance(problem.A, DenseMatrix):
         A = problem.A.data
         if pad:
@@ -422,6 +480,8 @@ def solve_sharded(
     lbfgs_mem: int = 8,
     lipschitz=None,
     layout: str = "auto",
+    refine: int = 0,
+    refine_tol=None,
 ):
     """Mesh-sharded solve.  Same semantics as bsls_tpu.solve; b is treated as
     (S, m) (S=1 for a single RHS) and results keep the scenario axis.
@@ -441,29 +501,33 @@ def solve_sharded(
     if isinstance(problem, Problem) and problem.C is not None:
         from ..solvers.eq_constrained import solve_equality_constrained
 
-        if shard_rows:
-            raise NotImplementedError(
-                "sharded equality-constrained solves column-shard the stacked "
-                "[A; sqrt(rho) C] operator; row sharding is not supported"
-            )
         return solve_equality_constrained(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
             unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, metrics=metrics,
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
             checkpoint_keep=checkpoint_keep, resume=resume,
+            shard_rows=shard_rows, refine=refine, refine_tol=refine_tol,
         )
+    if refine > 0 or refine_tol is not None:
+        if not isinstance(problem, Problem):
+            raise ValueError(
+                "refine on a sharded solve needs the host Problem (the "
+                "polish anchor is a host float64 pass); pass the Problem, "
+                "not a pre-sharded triple")
 
     grid = dict(mesh.shape).get(ROW_AXIS, 1) > 1
     if grid and shard_rows:
         raise ValueError("use either a row>1 mesh axis (2-D) or shard_rows, not both")
     if isinstance(problem, tuple):
-        # pre-sharded (dp, part, single_rhs) from shard_problem — the
-        # serving path prepares/uploads once and streams right-hand sides
+        # pre-sharded (dp, part, single_rhs) from shard_problem /
+        # shard_problem_rows — the serving and eq paths prepare/upload once
+        # and stream right-hand sides.  The dp carries its own axis
+        # metadata, so the mode is derived from it, not from the flag.
         dp, part, single_rhs = problem
-        if shard_rows or grid:
-            raise ValueError(
-                "pre-sharded solves support column(block) sharding only")
+        if grid:
+            raise ValueError("pre-sharded solves do not support a 2-D grid")
+        shard_rows = dp.row_axis is not None and dp.col_axis is None
     else:
         single_rhs = np.asarray(problem.b).ndim == 1
         if grid:
@@ -665,7 +729,7 @@ def solve_sharded(
     gap = to_host(state.gap)
     if single_rhs:
         x, f, gap = x[0], f[0], gap[0]
-    return SolveResult(
+    res = SolveResult(
         x=x,
         objective=f,
         gap=gap,
@@ -677,3 +741,13 @@ def solve_sharded(
         chunk_iters=np.asarray(citers),
         stop_reason=stopper.reason,
     )
+    if refine > 0 or refine_tol is not None:
+        # gather-and-polish (same as bsls.solve's mesh branch): the result
+        # is already host-side; the host f64 CG path (dp=None) runs the
+        # tangent-space correction against the host Problem
+        from ..solvers.base import refine_polish
+
+        res = refine_polish(problem, None, res,
+                            rounds=refine if refine > 0 else 16,
+                            target_rel_gap=refine_tol)
+    return res

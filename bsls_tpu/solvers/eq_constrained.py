@@ -75,6 +75,7 @@ def solve_equality_constrained(
     resume: bool = False,
     refine: int = 0,
     refine_tol: Optional[float] = None,
+    shard_rows: bool = False,
 ):
     """Returns a SolveResult whose ``eq_violation`` records the relative
     ||Cx-d||_inf (worst scenario for multi-RHS).  With ``mesh`` the inner
@@ -184,7 +185,9 @@ def solve_equality_constrained(
     key = ("op", id(problem.A), id(problem.C), str(jnp.dtype(dtype)), np.shape(b),
            _uz(method, line_search))
     if mesh is not None:
-        key = key + ("mesh", id(mesh))
+        key = key + ("mesh", id(mesh), bool(shard_rows))
+    elif shard_rows:
+        raise ValueError("shard_rows requires a mesh")
     dp_cache, rho_base, L_base, LC = op_cache.get(key, (None, None, None, None))
     for outer in range(start_outer, outer_iters):
         # max_iter is the TOTAL inner-iteration budget across outers (the
@@ -218,7 +221,9 @@ def solve_equality_constrained(
             power = (power_lipschitz_z if uses_zspace(method, line_search)
                      else power_lipschitz)
             if dp_cache is None:
-                from ..parallel.sharding import shard_problem
+                from ..parallel.sharding import (
+                    shard_problem, shard_problem_rows,
+                )
 
                 stacked = Problem(
                     A=VStackMatrix(top=problem.A, bottom=ScaledMatrix(C, sr)),
@@ -226,12 +231,20 @@ def solve_equality_constrained(
                     partition=problem.partition,
                     name=problem.name + "+eq",
                 )
-                dp_sh, part_sh = shard_problem(stacked, mesh, dtype=dtype)
+                if shard_rows:
+                    # tall-A eq: BOTH parts' rows shard over the block axis
+                    # (device k owns [A_k; sr*C_k]); b interleaves to match
+                    dp_sh, part_sh = shard_problem_rows(stacked, mesh,
+                                                        dtype=dtype)
+                else:
+                    dp_sh, part_sh = shard_problem(stacked, mesh, dtype=dtype)
                 rho_base = rho
 
                 def _mesh_power(d):
                     fn = jax.jit(jax.shard_map(
-                        power, mesh=mesh, in_specs=(dp_specs(d),), out_specs=P()))
+                        power, mesh=mesh,
+                        in_specs=(dp_specs(d, rows=shard_rows),),
+                        out_specs=P()))
                     return float(fn(d))
 
                 L_base = _mesh_power(dp_sh)
@@ -241,6 +254,14 @@ def solve_equality_constrained(
                 op_cache[key] = (dp_cache, rho_base, L_base, LC)
             dp_sh, part_sh, b_shard = dp_cache
             b_up = b_stacked if multi else b_stacked[None, :]
+            if shard_rows:
+                from ..parallel.mesh import BLOCK_AXIS
+                from ..parallel.sharding import interleave_stacked_rows
+
+                nr_sh = mesh.shape[BLOCK_AXIS]
+                m_top = problem.A.shape[0]
+                b_up = interleave_stacked_rows(
+                    b_up[:, :m_top], b_up[:, m_top:], nr_sh)
             dp = dc_replace(
                 dp_sh,
                 A=dc_replace(dp_sh.A,

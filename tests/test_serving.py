@@ -54,6 +54,29 @@ def test_endpoint_refine_requests():
     assert res.refine_secs > 0.0
 
 
+def test_endpoint_mesh_refine_requests():
+    """Per-request refine on the POD-SHARDED endpoint (round 4): the
+    gathered result is polished by the host f64 path against the request's
+    own b, and refine_tol ships its certificate through the mesh branch."""
+    import jax
+
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.tiny_dense(seed=3, num_blocks=32, dim=4, m=128)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    ep = Endpoint(prob, method="pgd", chunk=100, mesh=mesh)
+    rng = np.random.default_rng(5)
+    x_true = synthetic.random_block_x(rng, prob.partition.sizes)
+    b = prob.A.matvec(x_true) + 1e-3 * rng.standard_normal(128)
+    single = bsls.Problem(A=prob.A, b=b, partition=prob.partition)
+    orc = oracle_solve(single, tol_gap=1e-11, max_iter=20000)
+    res = ep.solve(b, tol=0.0, max_iter=600, refine=6)
+    rel = (float(res.objective) - orc.objective) / max(orc.objective, 1e-30)
+    assert rel < 1e-8, rel
+    res_c = ep.solve(b, tol=0.0, max_iter=600, refine=6, refine_tol=1e-8)
+    assert res_c.refine_fw_gap is not None and res_c.refine_fw_gap <= 1e-8
+
+
 def test_endpoint_rejects_bad_shapes():
     prob = synthetic.tiny_dense(seed=3, num_blocks=5, dim=4, m=30)
     ep = Endpoint(prob)
@@ -137,8 +160,10 @@ def test_endpoint_mesh_backed_eq_serving():
     b0 = np.asarray(prob.b)
     for k in range(2):  # second request: cached sharded op + warm lam
         b = b0 * (1.0 + 0.05 * k)
-        r_m = ep_mesh.solve(b, tol=1e-7, max_iter=3000)
-        r_r = ep_ref.solve(b, tol=1e-7, max_iter=3000)
+        # max_iter is a TOTAL inner budget since round 4; converged AL runs
+        # on traffic instances need 3.6k-7k inners (eq_constrained.py note)
+        r_m = ep_mesh.solve(b, tol=1e-7, max_iter=10_000)
+        r_r = ep_ref.solve(b, tol=1e-7, max_iter=10_000)
         assert r_m.eq_violation <= 1e-6
         # atol: converged objectives sit at the fp32 noise floor (~1e-8)
         np.testing.assert_allclose(float(np.asarray(r_m.objective)),

@@ -195,6 +195,45 @@ def test_sharded_equality_constrained(eight_devices):
                                rtol=0.5, atol=1e-3)
 
 
+def test_row_sharded_equality_constrained(eight_devices):
+    """Row-sharded eq (round 4, last sharding guard lifted): BOTH parts of
+    the stacked [A; sqrt(rho) C] shard their rows over the block axis
+    (device k owns the locally stacked [A_k; sr*C_k]; b interleaves to
+    match, the A^T r partials psum).  Must match the unsharded AL solve,
+    including when p < n_devices (padded eq rows)."""
+    mesh = make_mesh(block=8, scenario=1, devices=eight_devices)
+    prob = synthetic.traffic_like(seed=0, num_blocks=12, m=60, num_eq=4)
+    kw = dict(method="apgd", tol=1e-7, max_iter=2000, chunk=100)
+    r_rows = solve_sharded(prob, mesh, shard_rows=True, **kw)
+    r_ref = bsls.solve(prob, **kw)
+    assert r_rows.eq_violation <= max(1e-6, 3.0 * r_ref.eq_violation)
+    np.testing.assert_allclose(float(np.asarray(r_rows.objective)),
+                               float(np.asarray(r_ref.objective)),
+                               rtol=0.25, atol=1e-4)
+    # ...and refine runs the host f64 finishing outers on the gathered
+    # iterate, same as the column-sharded mesh path
+    r_pol = solve_sharded(prob, mesh, shard_rows=True, refine=2, **kw)
+    assert r_pol.eq_violation <= max(1e-6, r_rows.eq_violation * 1.01)
+
+
+@pytest.mark.slow
+def test_row_sharded_eq_multi_rhs(eight_devices):
+    """Row-sharded eq over a (block=4, scenario=2) mesh with (S, m) b."""
+    mesh = make_mesh(block=4, scenario=2, devices=eight_devices)
+    prob = synthetic.traffic_like(seed=1, num_blocks=12, m=64, num_eq=4)
+    b2 = np.stack([np.asarray(prob.b), np.asarray(prob.b) * 1.02])
+    d2 = np.stack([np.asarray(prob.d)] * 2)
+    p2 = bsls.Problem(A=prob.A, b=b2, partition=prob.partition,
+                      C=prob.C, d=d2)
+    kw = dict(method="apgd", tol=1e-7, max_iter=2000, chunk=100)
+    r_rows = solve_sharded(p2, mesh, shard_rows=True, **kw)
+    r_ref = bsls.solve(p2, **kw)
+    assert r_rows.eq_violation <= max(1e-4, 3.0 * r_ref.eq_violation)
+    np.testing.assert_allclose(np.asarray(r_rows.objective),
+                               np.asarray(r_ref.objective),
+                               rtol=0.25, atol=2e-3)
+
+
 @pytest.mark.slow
 def test_sharded_eq_checkpoint_metrics_resume(eight_devices, tmp_path):
     """Sharded eq solves carry checkpoint/metrics/resume (round-3 VERDICT
