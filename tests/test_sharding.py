@@ -195,6 +195,25 @@ def test_sharded_equality_constrained(eight_devices):
                                rtol=0.5, atol=1e-3)
 
 
+def test_interleave_stacked_rows_layout():
+    """Each shard's segment of the interleaved RHS must be its locally
+    stacked [b_top_k; b_bot_k] (zero-padded parts), for any nr — including
+    p < nr (padded eq rows)."""
+    from bsls_tpu.parallel.sharding import interleave_stacked_rows
+
+    rng = np.random.default_rng(0)
+    for nr, m, p, S in [(8, 60, 4, 1), (4, 64, 10, 3), (2, 7, 1, 2)]:
+        bt, bb = rng.standard_normal((S, m)), rng.standard_normal((S, p))
+        out = interleave_stacked_rows(bt, bb, nr)
+        ml, pl = -((-m) // nr), -((-p) // nr)
+        assert out.shape == (S, nr * (ml + pl))
+        btp = np.concatenate([bt, np.zeros((S, nr * ml - m))], axis=1)
+        bbp = np.concatenate([bb, np.zeros((S, nr * pl - p))], axis=1)
+        seg = out.reshape(S, nr, ml + pl)
+        np.testing.assert_array_equal(seg[:, :, :ml].reshape(S, -1), btp)
+        np.testing.assert_array_equal(seg[:, :, ml:].reshape(S, -1), bbp)
+
+
 def test_row_sharded_equality_constrained(eight_devices):
     """Row-sharded eq (round 4, last sharding guard lifted): BOTH parts of
     the stacked [A; sqrt(rho) C] shard their rows over the block axis
