@@ -102,11 +102,23 @@ def main(argv=None):
     from bsls_tpu.models.oracle import cached_oracle_objective
     from bsls_tpu.models.synthetic import _CONFIGS
 
-    prob = (
-        Problem.load(args.config)
-        if os.path.exists(args.config)
-        else synthetic.make_config(args.config)
-    )
+    if os.path.exists(args.config):
+        prob = Problem.load(args.config)
+    else:
+        # the 8M-var "large" instance costs minutes to regenerate per
+        # process — cache it on disk next to the oracle entries (~1 GB)
+        cache_dir = os.environ.get(
+            "BSLS_CACHE_DIR", os.path.join(os.getcwd(), ".bench"))
+        ipath = os.path.join(cache_dir, f"instance_{args.config}.npz")
+        if args.config == "large" and os.path.exists(ipath):
+            prob = Problem.load(ipath)
+        else:
+            prob = synthetic.make_config(args.config)
+            if args.config == "large":
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = ipath + ".tmp.npz"
+                prob.save_npz(tmp)
+                os.replace(tmp, ipath)
     if prob.C is not None and args.keep_eq:
         key = f"{args.config}_0" if args.config in _CONFIGS else None
         _eq_time_to_gap(args, bsls, prob, key)
