@@ -82,6 +82,12 @@ def main(argv=None):
                    "but pgd/bb for --config large (measured r4: the lbfgs "
                    "history OOMs the chip next to the 2 GB instance)")
     p.add_argument("--ref-iters", type=int, default=1500)
+    p.add_argument("--ref-refine", type=int, default=12,
+                   help="refine round cap for the certified reference; at "
+                   "config-4 scale each certified round is minutes of host "
+                   "f64 SpMM (escalating PCG budgets), so a tight cap "
+                   "bounds the reference cost — the achieved certificate "
+                   "ships in ref_fw_gap_rel either way")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -145,7 +151,8 @@ def main(argv=None):
     if ref == "certified":
         f_star, ref_cert = _certified_reference(
             bsls, prob, key, S, method=ref_method,
-            iters=args.ref_iters, tol=args.tol, chunk=args.chunk)
+            iters=args.ref_iters, tol=args.tol, chunk=args.chunk,
+            refine=args.ref_refine)
         if S == 1:
             f_star = np.asarray(float(f_star))
     else:
@@ -264,7 +271,8 @@ def _eq_time_to_gap(args, bsls, prob, key: str | None):
 
 def _certified_reference(bsls, prob, key: str | None, S: int,
                          method: str = "lbfgs", iters: int = 1500,
-                         tol: float = 1e-6, chunk: int = 100):
+                         tol: float = 1e-6, chunk: int = 100,
+                         refine: int = 12):
     """Oracle-free reference objectives, pinned by a certificate.
 
     A deep fp32 solve + certified f64 polish rounds (refine_tol, Jacobi-PCG
@@ -289,7 +297,7 @@ def _certified_reference(bsls, prob, key: str | None, S: int,
         return np.asarray(d["objectives"]), d["cert_rel"]
     m, _, ls = method.partition("/")
     res = bsls.solve(prob, method=m, line_search=ls or "exact", tol=0.0,
-                     max_iter=iters, chunk=chunk, refine=12,
+                     max_iter=iters, chunk=chunk, refine=refine,
                      refine_tol=0.1 * tol)
     X = np.atleast_2d(np.asarray(res.x, np.float64))
     B = np.atleast_2d(np.asarray(prob.b, np.float64))
