@@ -22,12 +22,24 @@ import argparse
 import json
 import os
 import sys
+import time as _walltime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 SCHEDULE = [25, 50, 75, 100, 150, 200, 300, 400, 600, 800, 1200, 1600, 2400]
+
+_T0 = _walltime.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Per-stage stderr progress.  Round 4's config-4 run died leaving a
+    147-byte log and no diagnostic (VERDICT r4 weak #2) because output only
+    lands after a method finishes its whole schedule; every stage and
+    schedule point now reports as it happens."""
+    print(f"[ttg {_walltime.perf_counter() - _T0:8.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main(argv=None):
@@ -117,8 +129,10 @@ def main(argv=None):
             "BSLS_CACHE_DIR", os.path.join(os.getcwd(), ".bench"))
         ipath = os.path.join(cache_dir, f"instance_{args.config}.npz")
         if args.config == "large" and os.path.exists(ipath):
+            _progress(f"loading cached instance {ipath}")
             prob = Problem.load(ipath)
         else:
+            _progress(f"generating instance {args.config}")
             prob = synthetic.make_config(args.config)
             if args.config == "large":
                 os.makedirs(cache_dir, exist_ok=True)
@@ -147,6 +161,8 @@ def main(argv=None):
                        else "oracle")
     ref_method = args.ref_method or (
         "pgd/bb" if args.config == "large" else "lbfgs")
+    _progress(f"instance ready: {prob.name} shape={prob.shape} S={S} "
+              f"ref={ref}")
     ref_cert = None
     if ref == "certified":
         f_star, ref_cert = _certified_reference(
@@ -155,12 +171,16 @@ def main(argv=None):
             refine=args.ref_refine)
         if S == 1:
             f_star = np.asarray(float(f_star))
+        _progress(f"certified reference ready (cert_rel={ref_cert:.3e})")
     else:
         f_star = np.asarray(cached_oracle_objective(prob, key))
+        _progress("oracle reference ready")
 
     for item in args.methods.split(","):
         method, _, ls = item.strip().partition("/")
         ls = ls or "exact"
+        _progress(f"method {method}/{ls}: steady-rate warm run "
+                  f"({8 * args.chunk} iters)")
         # Dedicated steady-rate run (8 chunks, skip the compile/warm-up
         # interval): the schedule's early points are single-chunk solves
         # whose wall clock is dominated by compile + dispatch sync, not the
@@ -168,6 +188,8 @@ def main(argv=None):
         warm = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
                           max_iter=8 * args.chunk, chunk=args.chunk)
         rate = warm.steady_iters_per_sec()
+        _progress(f"method {method}/{ls}: steady rate "
+                  f"{rate if rate is None else round(rate, 2)} it/s")
         cross_k, gap_at_cross, refine_secs, cert = None, None, 0.0, None
         for K in SCHEDULE:
             res = bsls.solve(
@@ -177,6 +199,9 @@ def main(argv=None):
                             else None))
             f64 = np.asarray(prob.objective_np(np.asarray(res.x, np.float64)))
             rel = (f64 - f_star) / np.maximum(1.0, np.abs(f_star))
+            _progress(f"method {method}/{ls}: K={K} worst rel_gap="
+                      f"{float(np.max(rel)):.3e} refine_secs="
+                      f"{res.refine_secs:.1f}")
             if np.all(rel <= args.tol):  # S>1: EVERY scenario must cross
                 cross_k, gap_at_cross = K, float(np.max(rel))
                 refine_secs = res.refine_secs
@@ -234,13 +259,18 @@ def _eq_time_to_gap(args, bsls, prob, key: str | None):
         method, _, ls = item.strip().partition("/")
         ls = ls or "exact"
         walls, res = [], None
-        for _ in range(2):
+        for call in range(2):
+            _progress(f"eq method {method}/{ls}: "
+                      f"{'cold (trace/compile)' if call == 0 else 'warm'} "
+                      "call starting")
             t0 = time.perf_counter()
             res = bsls.solve(
                 prob, method=method, line_search=ls, tol=args.tol,
                 chunk=args.chunk, refine=args.refine,
                 refine_tol=(args.tol if args.refine_cert else None))
             walls.append(round(time.perf_counter() - t0, 3))
+            _progress(f"eq method {method}/{ls}: call {call} took "
+                      f"{walls[-1]}s viol={res.eq_violation:.2e}")
         f64 = float(np.asarray(
             prob.objective_np(np.asarray(res.x, np.float64))))
         rel = (f64 - f_star) / max(1.0, abs(f_star))
@@ -296,9 +326,14 @@ def _certified_reference(bsls, prob, key: str | None, S: int,
             d = _json.load(fh)
         return np.asarray(d["objectives"]), d["cert_rel"]
     m, _, ls = method.partition("/")
+    _progress(f"certified reference: deep {m} solve ({iters} iters + "
+              f"<= {refine} certified refine rounds) — no cache at {path}")
     res = bsls.solve(prob, method=m, line_search=ls or "exact", tol=0.0,
                      max_iter=iters, chunk=chunk, refine=refine,
                      refine_tol=0.1 * tol)
+    _progress(f"certified reference: solve done "
+              f"(refine_secs={res.refine_secs:.1f}, "
+              f"fw_gap={res.refine_fw_gap}); evaluating f64 objectives")
     X = np.atleast_2d(np.asarray(res.x, np.float64))
     B = np.atleast_2d(np.asarray(prob.b, np.float64))
     sizes = prob.partition.sizes

@@ -66,9 +66,21 @@ class _ScipyOp:
 
 
 def _fast_operator(A):
-    from .problem import EllMatrix
+    from .problem import DenseMatrix, EllMatrix
 
-    return _ScipyOp(A) if isinstance(A, EllMatrix) else A
+    if isinstance(A, EllMatrix):
+        return _ScipyOp(A)
+    if isinstance(A, DenseMatrix):
+        return A
+    # composite wrappers (VStackMatrix, ScaledMatrix) that expose to_scipy
+    # also take the CSR path: refine_polish on the stacked eq operator does
+    # hundreds of matvecs, and the per-part bincount loop is ~10x slower
+    if hasattr(A, "to_scipy"):
+        try:
+            return _ScipyOp(A)
+        except Exception:
+            return A
+    return A
 
 
 def _make_vectorized_projection(part):

@@ -178,6 +178,16 @@ class VStackMatrix:
         m1 = self.top.shape[0]
         return self.top.rmatvec(r[:m1]) + self.bottom.rmatvec(r[m1:])
 
+    def to_scipy(self):
+        # keeps the eq mesh refine path (refine_polish with dp=None on the
+        # stacked problem) on the CSR/native-SpMM host fast path instead of
+        # falling back to the ~10x slower per-scenario bincount matvec loop
+        import scipy.sparse as sp
+
+        return sp.vstack([sp.csr_matrix(self.top.to_scipy()),
+                          sp.csr_matrix(self.bottom.to_scipy())],
+                         format="csr")
+
 
 @dataclass(frozen=True)
 class ScaledMatrix:
@@ -195,6 +205,13 @@ class ScaledMatrix:
 
     def rmatvec(self, r: np.ndarray) -> np.ndarray:
         return self.scale * self.inner.rmatvec(r)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        M = self.inner.to_scipy()
+        return (self.scale * sp.csr_matrix(M) if sp.issparse(M)
+                else self.scale * np.asarray(M))
 
 
 def _load_mat73(path: str) -> dict:

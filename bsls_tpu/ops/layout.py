@@ -522,8 +522,13 @@ def to_device_matrix(
         # the locally-stacked [top_k; scale*bottom_k] and the caller must
         # interleave b to match (parallel.sharding.interleave_stacked_rows).
         # matvec/rmatvec resolve the top/bottom boundary dynamically
-        # (_vstack_top_rows), so the same DeviceVStack is consistent both
-        # inside shard_map (local rows) and on the global/abstract view.
+        # (_vstack_top_rows).  CAUTION (row_shards > 1): the same
+        # DeviceVStack is VALUE-correct only inside shard_map (local rows)
+        # — globally the RHS is shard-major interleaved
+        # ([top_0; bot_0; top_1; bot_1; ...]) while matvec concatenates
+        # [all-top; all-bottom] and rmatvec slices r[:split] as contiguous
+        # top rows, so the global view is SHAPE-consistent only (fine for
+        # eval_shape/abstract tracing, wrong for global-view evaluation).
         return DeviceVStack(
             top=to_device_matrix(M.top, perm, dtype, col_scale, n_shards,
                                  row_shards=row_shards),

@@ -205,6 +205,9 @@ class Endpoint:
             # solve(mesh=..., refine=K))
             refine = int(kw.pop("refine", 0))
             refine_tol = kw.pop("refine_tol", None)
+            if refine_tol is not None and refine <= 0:
+                refine = 16  # refine_tol alone must not silently skip the
+                # polish — mirror solve()'s default round cap (base.py)
             b = np.asarray(b, dtype=np.dtype(jnp.dtype(self.dtype).name))
             single = b.ndim == 1
             if single:
@@ -241,6 +244,8 @@ class Endpoint:
         # requests of the same batch width.
         refine = int(kw.pop("refine", 0))
         refine_tol = kw.pop("refine_tol", None)
+        if refine_tol is not None and refine <= 0:
+            refine = 16  # same default cap as solve() — see mesh branch
         dp = self._with_b(b)
         res = solve(
             dp, method=self.method, line_search=self.line_search,

@@ -725,11 +725,12 @@ def solve(
         from .eq_constrained import solve_equality_constrained
 
         # the AL outer loop supports a subset of solve()'s surface — reject
-        # the rest loudly instead of silently ignoring it
+        # the rest loudly instead of silently ignoring it (metrics,
+        # checkpointing, and resume ARE supported: the AL loop checkpoints
+        # its host-side state at outer granularity)
         unsupported = {
             "space": space != "x", "callback": callback is not None,
-            "certify": certify > 0, "metrics": metrics is not None,
-            "checkpoint_path": checkpoint_path is not None, "resume": resume,
+            "certify": certify > 0,
             "lipschitz": lipschitz is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
@@ -742,7 +743,9 @@ def solve(
             problem, method=method, tol=tol, max_iter=max_iter, chunk=chunk,
             line_search=line_search, step_size=step_size, dtype=dtype, mesh=mesh,
             unroll=unroll, lbfgs_mem=lbfgs_mem, x0=x0, refine=refine,
-            refine_tol=refine_tol,
+            refine_tol=refine_tol, metrics=metrics,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            checkpoint_keep=checkpoint_keep, resume=resume,
         )
     if refine_tol is not None and refine == 0:
         # certified mode with no explicit round cap: default the cap to 16

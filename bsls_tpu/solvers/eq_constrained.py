@@ -198,6 +198,23 @@ def solve_equality_constrained(
         # only when a caller asks for a genuine budget.
         budget = max_iter - total_iters
         if budget <= 0:
+            if result is None:
+                # resume from a checkpoint whose total_iters already meets
+                # max_iter: surface the checkpointed state as an honest
+                # budget-exhausted result instead of crashing on result.x
+                # below (ADVICE r4 medium).  Callers should raise max_iter
+                # to continue the solve.
+                from .base import SolveResult
+
+                x_ck = (np.asarray(x0, np.float64) if x0 is not None
+                        else np.zeros((S, problem.A.shape[1]) if multi
+                                      else problem.A.shape[1]))
+                result = SolveResult(
+                    x=x_ck, objective=problem.objective_np(x_ck),
+                    gap=np.inf, iterations=0, converged=False,
+                    trace_f=np.zeros(0), trace_gap=np.zeros(0),
+                    chunk_times=np.zeros(0), chunk_iters=np.zeros(0),
+                    stop_reason="budget_exhausted")
             break
         this_inner = min(inner_iters, budget)
         sr = np.sqrt(rho)
@@ -464,6 +481,12 @@ def solve_equality_constrained(
     result.eq_lam = lam
     result.eq_rho = rho
     result.converged = bool(result.converged and viol <= eq_tol)
+    if (not result.converged and total_iters >= max_iter
+            and result.stop_reason != "budget_exhausted"):
+        # make budget-limited terminations visible (the max_iter kwarg
+        # became a binding total inner budget in round 4 — see README
+        # "Breaking changes"); converged=False alone does not say WHY
+        result.stop_reason = "budget_exhausted"
     return result
 
 

@@ -275,3 +275,30 @@ def test_mat73_loader(tmp_path):
     prob1 = Problem.load(path1)
     assert prob1.C.shape == (1, n)
     np.testing.assert_allclose(prob1.C.matvec(x_true), d[:1], atol=1e-10)
+
+
+def test_vstack_scaled_to_scipy():
+    """VStack/Scaled wrappers expose to_scipy so the eq mesh refine path
+    keeps the host CSR/native-SpMM fast path (ADVICE r4)."""
+    import scipy.sparse as sp
+
+    from bsls_tpu.models.problem import ScaledMatrix, VStackMatrix
+
+    rng = np.random.default_rng(0)
+    A = sp.random(12, 9, density=0.4, random_state=3, format="csr")
+    C = sp.random(4, 9, density=0.5, random_state=4, format="csr")
+    top = EllMatrix.from_scipy(A)
+    vs = VStackMatrix(top=top, bottom=ScaledMatrix(EllMatrix.from_scipy(C), 2.5))
+    M = vs.to_scipy()
+    assert sp.issparse(M) and M.shape == (16, 9)
+    x = rng.normal(size=9)
+    np.testing.assert_allclose(M @ x, vs.matvec(x), atol=1e-12)
+    r = rng.normal(size=16)
+    np.testing.assert_allclose(M.T @ r, vs.rmatvec(r), atol=1e-12)
+    # dense inner parts work too (DenseMatrix.to_scipy returns an ndarray)
+    from bsls_tpu.models.problem import DenseMatrix
+
+    vd = VStackMatrix(top=DenseMatrix(rng.normal(size=(5, 9))),
+                      bottom=ScaledMatrix(DenseMatrix(rng.normal(size=(2, 9))), 0.5))
+    Md = vd.to_scipy()
+    np.testing.assert_allclose(np.asarray(Md @ x).ravel(), vd.matvec(x), atol=1e-12)

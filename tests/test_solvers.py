@@ -118,10 +118,38 @@ def test_equality_constrained_max_iter_budget():
     prob = synthetic.traffic_like(num_blocks=40, m=200, num_eq=10, noise=0.0)
     res = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=150, chunk=50)
     assert res.iterations <= 150
+    # a budget-limited, unconverged eq solve says WHY it stopped
+    if not res.converged:
+        assert res.stop_reason == "budget_exhausted"
     # an unbudgeted control run uses more than the budget (so the cap bound)
     res_full = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=4000,
                           chunk=200)
     assert res_full.iterations > 150
+
+
+def test_equality_constrained_resume_exhausted_budget(tmp_path):
+    """Resuming an eq solve whose checkpointed total_iters already meets
+    max_iter must return the checkpointed state (stop_reason
+    "budget_exhausted"), not crash with result=None (ADVICE r4 medium)."""
+    prob = synthetic.traffic_like(num_blocks=40, m=200, num_eq=10, noise=0.0)
+    ck = str(tmp_path / "eq_ck")
+    first = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=120, chunk=40,
+                       checkpoint_path=ck, checkpoint_every=1)
+    assert first.iterations >= 120  # budget binds on this instance
+    resumed = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=120,
+                         chunk=40, checkpoint_path=ck, checkpoint_every=1,
+                         resume=True)
+    assert resumed.stop_reason == "budget_exhausted"
+    assert not resumed.converged
+    assert resumed.x.shape == first.x.shape
+    # the checkpointed iterate (not zeros) comes back
+    np.testing.assert_allclose(np.asarray(resumed.x, np.float64),
+                               np.asarray(first.x, np.float64),
+                               rtol=1e-5, atol=1e-6)
+    # raising the budget lets the resumed solve continue past the checkpoint
+    cont = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=4000, chunk=200,
+                      checkpoint_path=ck, checkpoint_every=1, resume=True)
+    assert float(cont.objective) <= float(first.objective) + 1e-8
 
 
 def test_afw_beats_plain_fw(tiny):
