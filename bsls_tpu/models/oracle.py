@@ -225,12 +225,14 @@ def oracle_solve_eq(
 
     part0 = problem.partition
     kkt_dim = part0.n_flat + len(part0.sizes) + problem.C.shape[0]
+    # 100k: prox_bpp_polish's sparse-KKT ceiling (round 5; face systems
+    # above ~1500 dims factor with SuperLU instead of dense LAPACK)
     if direct == "auto":
-        direct = kkt_dim <= 3000
-    elif direct and kkt_dim > 3000:
+        direct = kkt_dim <= 100_000
+    elif direct and kkt_dim > 100_000:
         raise ValueError(
             f"oracle_solve_eq(direct=True): KKT dimension {kkt_dim} exceeds "
-            "the dense-solve scale (3000); use the AL path")
+            "the sparse-KKT scale (100000); use the AL path")
     if direct:
         from ..solvers.eq_constrained import eq_dual_bound, prox_bpp_polish
 
@@ -315,6 +317,18 @@ def oracle_solve_eq(
     # complementarity term (see docstring)
     gL = A_csr.T @ r + C_csr.T @ lam
     bound = fw_gap_np(gL, x, sizes) - float(lam @ (C_csr @ x - d))
+    # AL multipliers can certify sound-but-uselessly (measured bound 459 on
+    # the perturbed grid, BASELINE.md r4): refit lam on the active face
+    # (sparse LSMR, seconds at any scale) and keep the tighter sound bound
+    from ..solvers.eq_constrained import eq_multiplier_polish
+
+    b_all = np.asarray(problem.b, np.float64)
+    prob_s = (problem if b_all.ndim == 1 else
+              dc_replace(problem, b=b, d=d, x_true=None))
+    lam_fit = eq_multiplier_polish(prob_s, x)
+    gF = A_csr.T @ r + C_csr.T @ lam_fit
+    bound_fit = fw_gap_np(gF, x, sizes) - float(lam_fit @ (C_csr @ x - d))
+    bound = min(bound, bound_fit)
     return OracleResult(x=x, objective=f, gap=float(bound),
                         iterations=total_inner,
                         eq_violation=float(np.abs(C_csr @ x - d).max()) / dref)

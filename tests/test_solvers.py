@@ -551,6 +551,62 @@ def test_eq_refine_tol_certified():
     assert true_rel <= res.refine_fw_gap + 1e-10, (true_rel, res.refine_fw_gap)
 
 
+def test_bpp_sparse_matches_dense():
+    """The sparse-KKT face solves (SuperLU bordered systems, round 5) must
+    reach the same clean KKT point as the dense LAPACK path: both certify
+    to ~f64 roundoff via the Lagrangian dual bound."""
+    from bsls_tpu.solvers.eq_constrained import eq_dual_bound, prox_bpp_polish
+
+    prob = synthetic.traffic_like(seed=2, num_blocks=60, m=300, num_eq=15,
+                                  noise=1e-3)
+    res = bsls.solve(prob, method="apgd", tol=1e-6, max_iter=4000, chunk=200)
+    x0 = np.asarray(res.x, np.float64)
+    xd, ld, okd = prox_bpp_polish(prob, x0)  # dense (KKT dim < 1500)
+    xs, ls_, oks = prox_bpp_polish(prob, x0, dense_kkt=0)  # force sparse
+    assert okd and oks
+    assert eq_dual_bound(prob, xd, ld) <= 1e-7
+    assert eq_dual_bound(prob, xs, ls_) <= 1e-7
+    # same objective to f64 cleanliness (iterates may differ along
+    # degenerate face directions; the certificate pins both)
+    fd = float(prob.objective_np(xd))
+    fs = float(prob.objective_np(xs))
+    assert abs(fd - fs) <= 1e-7 * max(1.0, abs(fd)), (fd, fs)
+
+
+def test_eq_multiplier_polish_tightens_bound():
+    """Dual-only polish (round 5): at a CLEAN-support iterate whose
+    multipliers are stale or missing (the beyond-max_kkt scenario —
+    BASELINE r4 recorded an AL dual bound of 459 at a good x), refitting
+    lam on the active face recovers a tight sound bound with no change to
+    x.  It cannot rescue a noisy-support fp32 iterate (the FW gap itself
+    is loose there); callers keep min(AL bound, refit bound) — both
+    sound."""
+    from bsls_tpu.solvers.eq_constrained import (
+        eq_dual_bound, eq_multiplier_polish, prox_bpp_polish)
+
+    prob = synthetic.traffic_like(seed=3, num_blocks=50, m=250, num_eq=12,
+                                  noise=1e-2)
+    res = bsls.solve(prob, method="apgd", tol=1e-7, max_iter=6000, chunk=200)
+    x, lam_clean, ok = prox_bpp_polish(prob, np.asarray(res.x, np.float64))
+    assert ok
+    bound_clean = eq_dual_bound(prob, x, lam_clean)
+    assert bound_clean <= 1e-8  # the KKT-exact multipliers certify
+    # stale multipliers at the same x: bound collapses...
+    bound_stale = eq_dual_bound(prob, x, np.zeros_like(lam_clean))
+    assert bound_stale > 1e3 * max(bound_clean, 1e-14)
+    # ...and the face refit recovers it without touching x
+    lam_fit = eq_multiplier_polish(prob, x)
+    bound_fit = eq_dual_bound(prob, x, lam_fit)
+    assert bound_fit <= max(10 * bound_clean, 1e-9), (bound_fit, bound_clean)
+    # soundness vs the f64 eq oracle
+    from bsls_tpu.models.oracle import oracle_solve_eq
+
+    orc = oracle_solve_eq(prob, tol_eq=1e-10, tol_gap=1e-11)
+    true_rel = (float(prob.objective_np(x)) - orc.objective) / max(
+        1.0, abs(orc.objective))
+    assert true_rel <= bound_fit + 1e-9, (true_rel, bound_fit)
+
+
 def test_eq_refine_mesh_matches_unsharded():
     """refine=K on a mesh-sharded eq solve (round 4: the guard is lifted —
     the finishing outers run refine_polish's host f64 PCG path on the
