@@ -510,14 +510,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         if _nat is not None:
             _mm, _rmm = _nat
     cert = None  # f64 FW-gap certificate of the CURRENT X (relative, worst s)
-
-    def _cert_vec(g0_):
-        from ..models.oracle import fw_gap_np
-
-        return np.array([
-            fw_gap_np(g0_[s], X[s], sizes) / max(1.0, abs(F[s]))
-            for s in range(S)
-        ])
+    from ..models.oracle import fw_gap_np as _fwgap
 
     # certified mode needs enough CG to resolve the face: 30 device
     # iterations suffice for the 1e-12 objective but not for a tight
@@ -531,12 +524,25 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     # certify in the first rounds — without masking every round pays the
     # full 32-wide SpMM train for a shrinking set of stragglers)
     active = np.ones(S, bool)
+    # incremental anchors (round-5, VERDICT r4 missing #5): a scenario's
+    # f64 anchor pair (r0, g0) and certificate only change when a step
+    # moved ITS iterate, so frozen/rejected scenarios keep last round's —
+    # the per-round SpMM train shrinks to the stragglers instead of
+    # re-paying the full S-wide anchor every round
+    R0 = np.zeros((S, B.shape[1]))
+    G0 = np.zeros_like(X)
+    certv = np.full(S, np.inf)
+    stale = np.ones(S, bool)
     for _ in range(rounds):
-        # f64 host anchor, one SpMM across scenarios
-        r0 = _mm(X) - B
-        g0 = _rmm(r0)
+        idxn = np.nonzero(stale)[0]
+        if idxn.size:
+            R0[idxn] = _mm(X[idxn]) - B[idxn]
+            G0[idxn] = _rmm(R0[idxn])
+            stale[idxn] = False
+        g0 = G0
         if target_rel_gap is not None:
-            certv = _cert_vec(g0)
+            for s in idxn:
+                certv[s] = _fwgap(G0[s], X[s], sizes) / max(1.0, abs(F[s]))
             cert = float(certv.max())
             active = certv > target_rel_gap
             if not active.any():
@@ -635,6 +641,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 if fc < F[s]:
                     X[s], F[s] = xc, fc
                     any_accepted = True
+                    stale[s] = True  # anchor + certificate now outdated
                     break
                 t *= 0.5
         if not any_accepted:
@@ -643,11 +650,14 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 cg_now = min(2 * cg_now, cg_cap)
                 continue
             break
-        cert = None  # steps moved X: the round-start certificate is stale
-    if target_rel_gap is not None and cert is None:
-        # certify the final iterate (one extra f64 anchor pair)
-        g0 = _rmm(_mm(X) - B)
-        cert = float(_cert_vec(g0).max())
+    if target_rel_gap is not None:
+        # certify the final iterate: refresh only moved scenarios' anchors
+        idxn = np.nonzero(stale)[0]
+        if idxn.size:
+            G0[idxn] = _rmm(_mm(X[idxn]) - B[idxn])
+            for s in idxn:
+                certv[s] = _fwgap(G0[s], X[s], sizes) / max(1.0, abs(F[s]))
+        cert = float(certv.max())
     return SolveResult(
         x=X if multi else X[0],
         objective=np.asarray(F if multi else F[0]),

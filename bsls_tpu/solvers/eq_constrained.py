@@ -749,13 +749,16 @@ def prox_bpp_polish(
             free[lo + int(np.argmax(ref[lo:lo + sizes[bidx]]))] = True
         return free
 
-    def bpp(xa, b_s, d_s, eps):
-        """One prox subproblem: BPP with dense-KKT face solves.
+    def bpp(xa, b_s, d_s, eps, rt=dual_rtol):
+        """One prox subproblem: BPP face solves (dense or projected-PCG).
+        ``rt`` is this call's complementarity cleanliness threshold.
         Returns (y, mu_eq, ok)."""
         x = np.maximum(xa, 0.0)
         free = ensure_live(x > 1e-8, x)
         nbest = np.inf
         patience = 3
+        stuck = 0
+        rt_eff = rt
         y, mu = x, np.zeros(B_blocks + p)
         for rnd in range(rounds):
             fidx = np.nonzero(free)[0]
@@ -817,11 +820,12 @@ def prox_bpp_polish(
             # (-dual_rtol*gscale, 0) leaks up to |w| into the
             # certificate).  Serving keeps 1e-9 (latency first);
             # oracle_solve_eq(direct=) passes 1e-12 for a tight bound.
-            dual_bad = (~free) & (w_red < -dual_rtol * gscale)
+            dual_bad = (~free) & (w_red < -rt_eff * gscale)
             nviol = int(prim_bad.sum() + dual_bad.sum())
             if debug:
                 print(f"[bpp] rnd={rnd} prim={int(prim_bad.sum())} "
-                      f"dual={int(dual_bad.sum())} free={nf} eps={eps:.1e}")
+                      f"dual={int(dual_bad.sum())} free={nf} eps={eps:.1e} "
+                      f"rt={rt_eff:.0e}")
             if nviol == 0:
                 return np.maximum(y, 0.0), mu[B_blocks:], True
             if nviol < nbest:
@@ -831,6 +835,16 @@ def prox_bpp_polish(
             if patience >= 0:  # full block exchange
                 free = (free & ~prim_bad) | dual_bad
             else:  # anti-cycling: exchange only the single worst violator
+                stuck += 1
+                if stuck % 3 == 0 and rt_eff < 1e-5:
+                    # degenerate ties: near-zero duals flip sign with the
+                    # face and the single-swap walk 2-cycles (measured:
+                    # warm 3k-dim requests burned all 40 rounds on
+                    # (1,10)<->(0,7) oscillations).  Widen the
+                    # complementarity deadband — the tolerated |w| leaks
+                    # into the SOUND dual-bound certificate instead of
+                    # failing the whole polish.
+                    rt_eff *= 10.0
                 cand = np.maximum(np.where(prim_bad, -y, -np.inf),
                                   np.where(dual_bad, -w_red, -np.inf))
                 j = int(np.argmax(cand))
@@ -851,20 +865,37 @@ def prox_bpp_polish(
         eps_rel = eps0_rel
         f_prev = None
         lam_s = np.zeros(p)
+        certified = False
         for k in range(prox_outers):
-            y, lam_s, ok = bpp(x, B_rhs[s], D_tgt[s], eps_rel * a_scale)
-            if not ok:
+            # Complementarity cleanliness is only needed at the FINAL
+            # (eps_min) subproblem — the one the certificate is read from.
+            # Intermediate outers use a loose threshold (1e-6): chasing
+            # 1e-9-marginal dual violators on a face that the next eps
+            # shrink will reshuffle anyway is what made warm 2%-perturbed
+            # requests 2-cycle to the 40-round cap at ~3k KKT dims
+            # (measured round 5, /tmp logs + BASELINE.md).  An exchange
+            # cap-out at an intermediate eps likewise keeps the best face
+            # and continues the ladder instead of aborting the polish.
+            final = eps_rel <= eps_min_rel
+            rt = dual_rtol if final else max(dual_rtol, 1e-6)
+            y, lam_s, ok = bpp(x, B_rhs[s], D_tgt[s], eps_rel * a_scale,
+                               rt)
+            if not ok and final:
                 return x_arr, empty_lam, False
+            certified = ok and final
             f = 0.5 * float(np.sum((A_csr @ y - B_rhs[s]) ** 2))
             if debug:
                 print(f"[bpp] s={s} prox k={k} eps_rel={eps_rel:.1e} "
                       f"f={f:.9g} move={float(np.abs(y - x).max()):.2e}")
             x = y
-            if (f_prev is not None and eps_rel <= eps_min_rel
+            if (certified and f_prev is not None
                     and abs(f_prev - f) <= 1e-10 * max(1.0, abs(f))):
                 break
             f_prev = f
             eps_rel = max(eps_rel / 10.0, eps_min_rel)
+        if not certified:
+            # ladder ended without a clean tight-complementarity solve
+            return x_arr, empty_lam, False
         X_out[s] = x
         lam_out[s] = lam_s
 
