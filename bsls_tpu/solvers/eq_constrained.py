@@ -662,7 +662,7 @@ def prox_bpp_polish(
     eps_min_rel: float = 1e-9,
     prox_outers: int = 12,
     max_kkt: int = 100_000,
-    dense_kkt: int = 1500,
+    dense_kkt: int = 2500,
     dual_rtol: float = 1e-9,
     debug: bool = False,
 ):
