@@ -542,7 +542,12 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         g0 = G0
         if target_rel_gap is not None:
             for s in idxn:
-                certv[s] = _fwgap(G0[s], X[s], sizes) / max(1.0, abs(F[s]))
+                # two sound bounds on F[s] - f*: the f64 FW duality gap,
+                # and F[s] itself (least squares: f* >= 0).  The second
+                # matters on underdetermined configs (config 4 fits to
+                # ~1e-5 where the FW gap stays loose by orders)
+                certv[s] = (min(_fwgap(G0[s], X[s], sizes), F[s])
+                            / max(1.0, abs(F[s])))
             cert = float(certv.max())
             active = certv > target_rel_gap
             if not active.any():
@@ -656,7 +661,8 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         if idxn.size:
             G0[idxn] = _rmm(_mm(X[idxn]) - B[idxn])
             for s in idxn:
-                certv[s] = _fwgap(G0[s], X[s], sizes) / max(1.0, abs(F[s]))
+                certv[s] = (min(_fwgap(G0[s], X[s], sizes), F[s])
+                            / max(1.0, abs(F[s])))
         cert = float(certv.max())
     return SolveResult(
         x=X if multi else X[0],
