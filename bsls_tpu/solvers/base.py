@@ -496,8 +496,14 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     # what makes the certificate tight (the fp32-delta device CG floors
     # the FW gap at ~1.6e-5 on medium — round-3 weak #9), while plain
     # refine=K keeps the device path (faster per round on the tunnel and
-    # the 1e-12 objective quality is identical)
-    use_host = dp is None or target_rel_gap is not None
+    # the 1e-12 objective quality is identical).  BSLS_REFINE_HOST=1
+    # forces the host path for plain refine too: at config-4 scale (8M
+    # vars) the device CG floors the true gap at ~5e-4 (measured round 5
+    # — 30 fp32-delta iterations resolve almost nothing of an 8M-dim
+    # face) while the host f64 PCG is what the certified reference's
+    # quality comes from.
+    use_host = (dp is None or target_rel_gap is not None
+                or os.environ.get("BSLS_REFINE_HOST") == "1")
     if dp is not None:
         perm_h = np.asarray(dp.perm)
         sel = perm_h >= 0
