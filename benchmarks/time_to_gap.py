@@ -100,6 +100,10 @@ def main(argv=None):
                    "f64 SpMM (escalating PCG budgets), so a tight cap "
                    "bounds the reference cost — the achieved certificate "
                    "ships in ref_fw_gap_rel either way")
+    p.add_argument("--lbfgs-mem", type=int, default=8,
+                   help="L-BFGS history pairs; 4 fits config-4 scale where "
+                   "the default-8 history (2 GB at S=4 x 8M vars fp32) "
+                   "OOMs next to the 2 GB instance")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -186,7 +190,8 @@ def main(argv=None):
         # whose wall clock is dominated by compile + dispatch sync, not the
         # per-iteration cost a production run would pay.
         warm = bsls.solve(prob, method=method, line_search=ls, tol=0.0,
-                          max_iter=8 * args.chunk, chunk=args.chunk)
+                          max_iter=8 * args.chunk, chunk=args.chunk,
+                          lbfgs_mem=args.lbfgs_mem)
         rate = warm.steady_iters_per_sec()
         _progress(f"method {method}/{ls}: steady rate "
                   f"{rate if rate is None else round(rate, 2)} it/s")
@@ -195,6 +200,7 @@ def main(argv=None):
             res = bsls.solve(
                 prob, method=method, line_search=ls, tol=0.0,
                 max_iter=K, chunk=args.chunk, refine=args.refine,
+                lbfgs_mem=args.lbfgs_mem,
                 refine_tol=(args.tol if args.refine and args.refine_cert
                             else None))
             f64 = np.asarray(prob.objective_np(np.asarray(res.x, np.float64)))

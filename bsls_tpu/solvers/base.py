@@ -520,11 +520,14 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
 
     # certified mode needs enough CG to resolve the face: 30 device
     # iterations suffice for the 1e-12 objective but not for a tight
-    # certificate, and when a round's steps are all rejected the budget
-    # escalates (doubling, capped) instead of giving up — the remaining
-    # FW gap lives in near-null face directions that barely move f
-    cg_now = cg_iters if target_rel_gap is None else max(cg_iters, 200)
+    # certificate.  Start SMALL (50) and escalate (doubling, capped) when
+    # a round's steps are all rejected OR the certificate stalls (<2x
+    # improvement round-over-round) — easy scenarios certify after one or
+    # two cheap rounds and drop out of the SpMM train entirely, which is
+    # most of the certified-mode tax (round 5; see BASELINE.md)
+    cg_now = cg_iters if target_rel_gap is None else max(cg_iters, 50)
     cg_cap = max(cg_now, 1600)
+    cert_prev_round = None
     # per-scenario convergence mask: certified scenarios drop out of the
     # host PCG and step phases (measured medium x32: most scenarios
     # certify in the first rounds — without masking every round pays the
@@ -539,7 +542,10 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     G0 = np.zeros_like(X)
     certv = np.full(S, np.inf)
     stale = np.ones(S, bool)
-    for _ in range(rounds):
+    _rtrace = os.environ.get("BSLS_REFINE_TRACE") == "1"
+    _E_blk = _Et_blk = None  # lazy sparse blocksum/scatter operators
+    for _round_i in range(rounds):
+        _t_round = time.perf_counter()
         idxn = np.nonzero(stale)[0]
         if idxn.size:
             R0[idxn] = _mm(X[idxn]) - B[idxn]
@@ -582,12 +588,44 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
             # at the same 200-iteration CG budget, which is what lets
             # refine_tol=1e-6 CERTIFY instead of capping out.
             idx = np.nonzero(active)[0]
-            freea, cnta, g0ta = free[idx], cnt[idx], g0t[idx]
+            if _E_blk is None:
+                # COLUMN-MAJOR working set.  Profiling the x32 certified
+                # refine (round 5): the reduceat+repeat tangent
+                # projections cost MORE than the SpMM train (16.3 s vs
+                # 10.1 s of a 44 s polish), and every row-major sparse
+                # product paid a transpose copy.  In (n, S') layout the
+                # CSR products (M @ V, M^T @ R) and the blocksum indicator
+                # products (E @ V) are all transpose-free with the
+                # scenario axis as the fast-moving inner dimension.
+                import scipy.sparse as _sp
 
-            def tproj(V):
-                V = V * freea
-                sm = np.add.reduceat(V, offsets, axis=-1)
-                return (V - np.repeat(sm / cnta, sizes, axis=-1)) * freea
+                n_flat = X.shape[1]
+                _bids = np.repeat(np.arange(len(sizes)), sizes)
+                _E_blk = _sp.csr_matrix(
+                    (np.ones(n_flat), (_bids, np.arange(n_flat))),
+                    shape=(len(sizes), n_flat))
+                _Et_blk = _sp.csr_matrix(_E_blk.T)
+                from ..models.oracle import _ScipyOp
+
+                _col_op = op if hasattr(op, "M") else (
+                    _ScipyOp(problem.A) if hasattr(problem.A, "to_scipy")
+                    else None)
+            freeaT = np.ascontiguousarray(free[idx].T)  # (n, S')
+            cB = np.ascontiguousarray(cnt[idx].T)  # (B, S')
+            g0taT = np.ascontiguousarray(g0t[idx].T)
+
+            def tprojT(V):  # (n, S') tangent projection
+                V = V * freeaT
+                sm = _E_blk @ V  # (B, S') per-block sums
+                V = V - _Et_blk @ (sm / cB)
+                return V * freeaT
+
+            if _col_op is not None:
+                def h_colT(V):  # A^T A in column form, no transposes
+                    return _col_op.Mt @ (_col_op.M @ V)
+            else:  # dense fallback: row-major ops with transposes
+                def h_colT(V):
+                    return _rmm(_mm(V.T)).T
 
             # Preconditioner: diagonal Jacobi.  An exact per-block
             # tangent-space KKT (block-Jacobi) preconditioner was built and
@@ -597,7 +635,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
             # equilibrated instances the within-block curvature is already
             # captured by the diagonal; the PCG is limited by cross-block
             # coupling.  Negative result recorded in BASELINE.md.
-            Minv = freea / np.maximum(_coln[None, :], 1e-30)
+            MinvT = freeaT / np.maximum(_coln[:, None], 1e-30)
 
             def prec(V):
                 # V (the CG residual) stays in the tangent space by the
@@ -605,13 +643,13 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 # diagonal scaling suffices — the inner tproj(V) and the
                 # pre-H tproj(Pd) were measured as ~40% of certified x32
                 # polish wall time and are redundant in exact arithmetic
-                return tproj(Minv * V)
+                return tprojT(MinvT * V)
 
-            Da = np.zeros_like(g0ta)
-            R = -g0ta  # g0t = P g0 already
+            Da = np.zeros_like(g0taT)
+            R = -g0taT  # g0t = P g0 already
             Z = prec(R)
             Pd = Z.copy()
-            rz = np.einsum("sn,sn->s", R, Z)
+            rz = np.einsum("ns,ns->s", R, Z)
             rz0 = rz.copy()
             _trace = os.environ.get("BSLS_PCG_TRACE") == "1"
             for _cg_k in range(cg_now):
@@ -621,18 +659,18 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                           flush=True)
                 if _ratio <= 1e-28:
                     break
-                HP = tproj(_rmm(_mm(Pd)))
-                den = np.einsum("sn,sn->s", Pd, HP)
+                HP = tprojT(h_colT(Pd))
+                den = np.einsum("ns,ns->s", Pd, HP)
                 alpha = np.where(den > 1e-300, rz / np.maximum(den, 1e-300), 0.0)
-                Da += alpha[:, None] * Pd
-                R -= alpha[:, None] * HP
+                Da += alpha[None, :] * Pd
+                R -= alpha[None, :] * HP
                 Z = prec(R)
-                rz_new = np.einsum("sn,sn->s", R, Z)
+                rz_new = np.einsum("ns,ns->s", R, Z)
                 beta = np.where(rz > 1e-300, rz_new / np.maximum(rz, 1e-300), 0.0)
-                Pd = Z + beta[:, None] * Pd
+                Pd = Z + beta[None, :] * Pd
                 rz = rz_new
             D = np.zeros_like(g0t)
-            D[idx] = Da
+            D[idx] = Da.T
         else:
             free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
             g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
@@ -661,6 +699,17 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 cg_now = min(2 * cg_now, cg_cap)
                 continue
             break
+        if target_rel_gap is not None and cert is not None:
+            # steps accepted but the certificate is stalling: the CG depth,
+            # not the face, is the binding constraint — escalate
+            if (cert_prev_round is not None and cert > 0.5 * cert_prev_round
+                    and cg_now < cg_cap):
+                cg_now = min(2 * cg_now, cg_cap)
+            cert_prev_round = cert
+        if _rtrace:
+            print(f"[refine] round={_round_i} active={int(active.sum())}"
+                  f"/{S} cg={cg_now} cert={cert} "
+                  f"secs={time.perf_counter() - _t_round:.2f}", flush=True)
     if target_rel_gap is not None:
         # certify the final iterate: refresh only moved scenarios' anchors
         idxn = np.nonzero(stale)[0]
