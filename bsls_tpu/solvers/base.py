@@ -520,14 +520,17 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
 
     # certified mode needs enough CG to resolve the face: 30 device
     # iterations suffice for the 1e-12 objective but not for a tight
-    # certificate.  Start SMALL (50) and escalate (doubling, capped) when
-    # a round's steps are all rejected OR the certificate stalls (<2x
-    # improvement round-over-round) — easy scenarios certify after one or
-    # two cheap rounds and drop out of the SpMM train entirely, which is
-    # most of the certified-mode tax (round 5; see BASELINE.md)
-    cg_now = cg_iters if target_rel_gap is None else max(cg_iters, 50)
+    # certificate, and when a round's steps are all rejected the budget
+    # escalates (doubling, capped) instead of giving up — the remaining
+    # FW gap lives in near-null face directions that barely move f.
+    # Two cheaper schedules were A/B'd round 5 and are measured
+    # negatives: a small (50) start with escalate-on-stall ends at MORE
+    # total CG than flat 200 (45.5 s vs 38.5 s on medium x32), and
+    # adding escalate-on-stall to the flat 200 start doubles rounds
+    # early and nearly doubles wall (72 s) — the FW certificate needs
+    # the deep rounds regardless, so the flat schedule wins.
+    cg_now = cg_iters if target_rel_gap is None else max(cg_iters, 200)
     cg_cap = max(cg_now, 1600)
-    cert_prev_round = None
     # per-scenario convergence mask: certified scenarios drop out of the
     # host PCG and step phases (measured medium x32: most scenarios
     # certify in the first rounds — without masking every round pays the
@@ -543,7 +546,6 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     certv = np.full(S, np.inf)
     stale = np.ones(S, bool)
     _rtrace = os.environ.get("BSLS_REFINE_TRACE") == "1"
-    _E_blk = _Et_blk = None  # lazy sparse blocksum/scatter operators
     for _round_i in range(rounds):
         _t_round = time.perf_counter()
         idxn = np.nonzero(stale)[0]
@@ -587,45 +589,22 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
             # round 4), the f64 FW-gap certificate drops 7.8e-5 -> 9.9e-10
             # at the same 200-iteration CG budget, which is what lets
             # refine_tol=1e-6 CERTIFY instead of capping out.
+            # Row-major (S', n) working set with the native OpenMP SpMM.
+            # A column-major (n, S') rewrite with sparse-indicator
+            # blocksum/scatter was built and A/B'd solo (round 5) and is
+            # a measured NEGATIVE: 45.6 s vs 38.5 s on medium x32 — the
+            # scipy column-form CSR products lose to the native row-major
+            # batched kernel by more than the transpose/reduceat overhead
+            # they save.  Two cheaper CG schedules (50-start ladder,
+            # escalate-on-cert-stall) also measured worse (45.5 s / 72 s);
+            # the flat 200 schedule stays.
             idx = np.nonzero(active)[0]
-            if _E_blk is None:
-                # COLUMN-MAJOR working set.  Profiling the x32 certified
-                # refine (round 5): the reduceat+repeat tangent
-                # projections cost MORE than the SpMM train (16.3 s vs
-                # 10.1 s of a 44 s polish), and every row-major sparse
-                # product paid a transpose copy.  In (n, S') layout the
-                # CSR products (M @ V, M^T @ R) and the blocksum indicator
-                # products (E @ V) are all transpose-free with the
-                # scenario axis as the fast-moving inner dimension.
-                import scipy.sparse as _sp
+            freea, cnta, g0ta = free[idx], cnt[idx], g0t[idx]
 
-                n_flat = X.shape[1]
-                _bids = np.repeat(np.arange(len(sizes)), sizes)
-                _E_blk = _sp.csr_matrix(
-                    (np.ones(n_flat), (_bids, np.arange(n_flat))),
-                    shape=(len(sizes), n_flat))
-                _Et_blk = _sp.csr_matrix(_E_blk.T)
-                from ..models.oracle import _ScipyOp
-
-                _col_op = op if hasattr(op, "M") else (
-                    _ScipyOp(problem.A) if hasattr(problem.A, "to_scipy")
-                    else None)
-            freeaT = np.ascontiguousarray(free[idx].T)  # (n, S')
-            cB = np.ascontiguousarray(cnt[idx].T)  # (B, S')
-            g0taT = np.ascontiguousarray(g0t[idx].T)
-
-            def tprojT(V):  # (n, S') tangent projection
-                V = V * freeaT
-                sm = _E_blk @ V  # (B, S') per-block sums
-                V = V - _Et_blk @ (sm / cB)
-                return V * freeaT
-
-            if _col_op is not None:
-                def h_colT(V):  # A^T A in column form, no transposes
-                    return _col_op.Mt @ (_col_op.M @ V)
-            else:  # dense fallback: row-major ops with transposes
-                def h_colT(V):
-                    return _rmm(_mm(V.T)).T
+            def tproj(V):
+                V = V * freea
+                sm = np.add.reduceat(V, offsets, axis=-1)
+                return (V - np.repeat(sm / cnta, sizes, axis=-1)) * freea
 
             # Preconditioner: diagonal Jacobi.  An exact per-block
             # tangent-space KKT (block-Jacobi) preconditioner was built and
@@ -635,7 +614,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
             # equilibrated instances the within-block curvature is already
             # captured by the diagonal; the PCG is limited by cross-block
             # coupling.  Negative result recorded in BASELINE.md.
-            MinvT = freeaT / np.maximum(_coln[:, None], 1e-30)
+            Minv = freea / np.maximum(_coln[None, :], 1e-30)
 
             def prec(V):
                 # V (the CG residual) stays in the tangent space by the
@@ -643,13 +622,13 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 # diagonal scaling suffices — the inner tproj(V) and the
                 # pre-H tproj(Pd) were measured as ~40% of certified x32
                 # polish wall time and are redundant in exact arithmetic
-                return tprojT(MinvT * V)
+                return tproj(Minv * V)
 
-            Da = np.zeros_like(g0taT)
-            R = -g0taT  # g0t = P g0 already
+            Da = np.zeros_like(g0ta)
+            R = -g0ta  # g0t = P g0 already
             Z = prec(R)
             Pd = Z.copy()
-            rz = np.einsum("ns,ns->s", R, Z)
+            rz = np.einsum("sn,sn->s", R, Z)
             rz0 = rz.copy()
             _trace = os.environ.get("BSLS_PCG_TRACE") == "1"
             for _cg_k in range(cg_now):
@@ -659,18 +638,18 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                           flush=True)
                 if _ratio <= 1e-28:
                     break
-                HP = tprojT(h_colT(Pd))
-                den = np.einsum("ns,ns->s", Pd, HP)
+                HP = tproj(_rmm(_mm(Pd)))
+                den = np.einsum("sn,sn->s", Pd, HP)
                 alpha = np.where(den > 1e-300, rz / np.maximum(den, 1e-300), 0.0)
-                Da += alpha[None, :] * Pd
-                R -= alpha[None, :] * HP
+                Da += alpha[:, None] * Pd
+                R -= alpha[:, None] * HP
                 Z = prec(R)
-                rz_new = np.einsum("ns,ns->s", R, Z)
+                rz_new = np.einsum("sn,sn->s", R, Z)
                 beta = np.where(rz > 1e-300, rz_new / np.maximum(rz, 1e-300), 0.0)
-                Pd = Z + beta[None, :] * Pd
+                Pd = Z + beta[:, None] * Pd
                 rz = rz_new
             D = np.zeros_like(g0t)
-            D[idx] = Da.T
+            D[idx] = Da
         else:
             free_pf = np.where(sel[None], free[:, np.maximum(perm_h, 0)], 0.0)
             g0t_pf = _polish_inject_batch(dp, jnp.asarray(g0t, jnp.float32))
@@ -699,13 +678,6 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
                 cg_now = min(2 * cg_now, cg_cap)
                 continue
             break
-        if target_rel_gap is not None and cert is not None:
-            # steps accepted but the certificate is stalling: the CG depth,
-            # not the face, is the binding constraint — escalate
-            if (cert_prev_round is not None and cert > 0.5 * cert_prev_round
-                    and cg_now < cg_cap):
-                cg_now = min(2 * cg_now, cg_cap)
-            cert_prev_round = cert
         if _rtrace:
             print(f"[refine] round={_round_i} active={int(active.sum())}"
                   f"/{S} cg={cg_now} cert={cert} "
