@@ -117,3 +117,58 @@ def test_z_transform_roundtrip(data):
         if vals.size:
             assert vals.min() >= -1e-6 and vals.max() <= 1.0 + 1e-6
             assert np.all(np.diff(vals) >= -1e-6)
+
+
+# ---- projected-PCG face solver (round 5: sparse-KKT BPP path) ----
+
+@given(st.data())
+@settings(**_SETTINGS)
+def test_face_pcg_matches_dense_kkt(data):
+    """_face_pcg (the beyond-dense-KKT face solver) must reproduce the
+    dense KKT solution to f64 cleanliness across random shapes, block
+    layouts, eps scales, and with/without equality rows."""
+    import scipy.sparse as sp
+
+    from bsls_tpu.solvers.eq_constrained import _face_pcg
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    B = data.draw(st.integers(2, 10))
+    nf = data.draw(st.integers(B, 60))
+    m = data.draw(st.integers(4, 80))
+    p = data.draw(st.integers(0, 4))
+    eps = 10.0 ** data.draw(st.integers(-8, 0))
+    bids = np.sort(rng.integers(0, B, nf))
+    bids[:B] = np.arange(B)  # every block keeps at least one free coord
+    bids = np.sort(bids)
+    AF = sp.random(m, nf, density=0.4, random_state=int(rng.integers(1 << 30)),
+                   format="csc")
+    CF = (sp.random(p, nf, density=0.6,
+                    random_state=int(rng.integers(1 << 30)), format="csc")
+          if p else None)
+    b = rng.normal(size=m)
+    d = rng.normal(size=p) * 0.1
+    xa = rng.uniform(0, 1, nf)
+    x0 = rng.uniform(0, 1, nf)
+    y, mu = _face_pcg(AF, CF, bids, B, b, d, xa, eps, x0)
+    # dense reference KKT
+    H = (AF.T @ AF).toarray() + eps * np.eye(nf)
+    GB = np.zeros((B, nf))
+    GB[bids, np.arange(nf)] = 1.0
+    G = np.vstack([GB, CF.toarray()]) if p else GB
+    nc = B + p
+    if np.linalg.matrix_rank(G) < nc:
+        return  # rank-deficient/infeasible constraint draw: both solvers
+        # degrade to least-squares fits and the dense reference is
+        # undefined — not the contract under test
+    KKT = np.block([[H, G.T], [G, np.zeros((nc, nc))]])
+    rhs = np.concatenate([AF.T @ b + eps * xa,
+                          np.concatenate([np.ones(B), d])])
+    try:
+        sol = np.linalg.solve(KKT, rhs)
+    except np.linalg.LinAlgError:
+        return  # singular face: dense ref undefined
+    scale = max(1.0, float(np.abs(sol).max()))
+    assert np.abs(y - sol[:nf]).max() <= 1e-8 * scale
+    # constraints hold to roundoff regardless
+    dref = max(1.0, float(np.abs(d).max())) if p else 1.0
+    assert np.abs(G @ y - rhs[nf:]).max() <= 1e-10 * dref
