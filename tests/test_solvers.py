@@ -665,3 +665,17 @@ def test_eq_oracle_direct_vs_al():
         o_d.objective, o_al.objective)
     assert o_d.eq_violation <= 1e-10
     assert o_d.gap <= 1e-6 * ref  # the bound certifies, not just exists
+
+
+def test_refine_host_toggle(monkeypatch):
+    """BSLS_REFINE_HOST=1 forces the host f64 PCG path for plain refine=K
+    (required at config-4 scale); quality must match the device path's on
+    an instance both handle."""
+    monkeypatch.setenv("BSLS_REFINE_HOST", "1")
+    prob = synthetic.tiny_dense(seed=3)
+    res = bsls.solve(prob, method="pgd", line_search="bb", tol=0.0,
+                     max_iter=600, refine=3)
+    orc = oracle_solve(prob, tol_gap=1e-10, max_iter=20000)
+    rel = (float(res.objective) - orc.objective) / max(1.0,
+                                                       abs(orc.objective))
+    assert rel <= 1e-6, rel
