@@ -14,15 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def memgb():
-    import jax
-
-    try:
-        ms = jax.devices()[0].memory_stats()
-        return {k: round(v / 2**30, 3) for k, v in ms.items()
-                if "bytes" in k and v}
-    except Exception as e:
-        return {"err": str(e)[:80]}
+from probe_large import memgb  # shared device memory_stats helper
 
 
 def main():

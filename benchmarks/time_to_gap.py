@@ -172,7 +172,7 @@ def main(argv=None):
         f_star, ref_cert = _certified_reference(
             bsls, prob, key, S, method=ref_method,
             iters=args.ref_iters, tol=args.tol, chunk=args.chunk,
-            refine=args.ref_refine)
+            refine=args.ref_refine, lbfgs_mem=args.lbfgs_mem)
         if S == 1:
             f_star = np.asarray(float(f_star))
         _progress(f"certified reference ready (cert_rel={ref_cert:.3e})")
@@ -273,6 +273,7 @@ def _eq_time_to_gap(args, bsls, prob, key: str | None):
             res = bsls.solve(
                 prob, method=method, line_search=ls, tol=args.tol,
                 chunk=args.chunk, refine=args.refine,
+                lbfgs_mem=args.lbfgs_mem,
                 refine_tol=(args.tol if args.refine_cert else None))
             walls.append(round(time.perf_counter() - t0, 3))
             _progress(f"eq method {method}/{ls}: call {call} took "
@@ -308,7 +309,7 @@ def _eq_time_to_gap(args, bsls, prob, key: str | None):
 def _certified_reference(bsls, prob, key: str | None, S: int,
                          method: str = "lbfgs", iters: int = 1500,
                          tol: float = 1e-6, chunk: int = 100,
-                         refine: int = 12):
+                         refine: int = 12, lbfgs_mem: int = 8):
     """Oracle-free reference objectives, pinned by a certificate.
 
     A deep fp32 solve + certified f64 polish rounds (refine_tol, Jacobi-PCG
@@ -336,7 +337,7 @@ def _certified_reference(bsls, prob, key: str | None, S: int,
               f"<= {refine} certified refine rounds) — no cache at {path}")
     res = bsls.solve(prob, method=m, line_search=ls or "exact", tol=0.0,
                      max_iter=iters, chunk=chunk, refine=refine,
-                     refine_tol=0.1 * tol)
+                     refine_tol=0.1 * tol, lbfgs_mem=lbfgs_mem)
     _progress(f"certified reference: solve done "
               f"(refine_secs={res.refine_secs:.1f}, "
               f"fw_gap={res.refine_fw_gap}); evaluating f64 objectives")

@@ -226,7 +226,8 @@ def oracle_solve_eq(
     part0 = problem.partition
     kkt_dim = part0.n_flat + len(part0.sizes) + problem.C.shape[0]
     # 100k: prox_bpp_polish's sparse-KKT ceiling (round 5; face systems
-    # above ~1500 dims factor with SuperLU instead of dense LAPACK)
+    # above the measured ~2500-dim crossover solve by projected PCG
+    # instead of dense LAPACK)
     if direct == "auto":
         direct = kkt_dim <= 100_000
     elif direct and kkt_dim > 100_000:

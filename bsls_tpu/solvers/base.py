@@ -541,7 +541,6 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
     # moved ITS iterate, so frozen/rejected scenarios keep last round's —
     # the per-round SpMM train shrinks to the stragglers instead of
     # re-paying the full S-wide anchor every round
-    R0 = np.zeros((S, B.shape[1]))
     G0 = np.zeros_like(X)
     certv = np.full(S, np.inf)
     stale = np.ones(S, bool)
@@ -550,8 +549,7 @@ def refine_polish(problem: Problem, dp, res: "SolveResult", rounds: int = 3,
         _t_round = time.perf_counter()
         idxn = np.nonzero(stale)[0]
         if idxn.size:
-            R0[idxn] = _mm(X[idxn]) - B[idxn]
-            G0[idxn] = _rmm(R0[idxn])
+            G0[idxn] = _rmm(_mm(X[idxn]) - B[idxn])
             stale[idxn] = False
         g0 = G0
         if target_rel_gap is not None:

@@ -405,6 +405,7 @@ def solve_equality_constrained(
         # pre-refine state and revert wholesale if the finishing rounds end
         # with a worse violation — refine must never trade feasibility away.
         x_before, lam_before, viol_before = x.copy(), lam.copy(), viol
+        refine_wall = 0.0
         for _ in range(refine):
             sr = np.sqrt(rho)
             b_bot = sr * (d - lam / rho)
@@ -415,7 +416,11 @@ def solve_equality_constrained(
                 partition=problem.partition,
                 name=problem.name + "+eq",
             )
-            dp_pol = None if mesh_mode else dc_replace(
+            # dp_cache is None when the budget was exhausted before any
+            # outer ran (resume at an exhausted budget): the host f64 PCG
+            # path polishes from the checkpointed iterate instead of
+            # crashing on replace(None) (round-5 review finding)
+            dp_pol = None if (mesh_mode or dp_stacked is None) else dc_replace(
                 dp_stacked,
                 A=dc_replace(dp_stacked.A,
                              bottom_scale=jnp.asarray(sr, dp_stacked.b.dtype)),
@@ -423,6 +428,7 @@ def solve_equality_constrained(
             )
             seed = dc_replace(result, x=x)
             polished = refine_polish(host_stacked, dp_pol, seed, rounds=2)
+            refine_wall += polished.refine_secs  # EVERY round's wall counts
             xn = np.asarray(polished.x, np.float64)
             total_iters = total_iters + (polished.iterations - seed.iterations)
             if not np.any(np.abs(xn - x) > 0):
@@ -437,7 +443,7 @@ def solve_equality_constrained(
         if viol > viol_before:
             x, lam, viol = x_before, lam_before, viol_before
         result = dc_replace(result, x=x,
-                            refine_secs=result.refine_secs + polished.refine_secs)
+                            refine_secs=result.refine_secs + refine_wall)
 
     # refine_tol: CERTIFIED refine (VERDICT r3 item 5).  At dense-KKT
     # scale, walk to the exact f64 KKT point with prox_bpp_polish (warm
@@ -693,9 +699,9 @@ def prox_bpp_polish(
        KKT-clean => exact constrained optimum of the prox subproblem.
        Warm-started, inners after the first converge in 1-2 rounds.
        Face systems up to ``dense_kkt`` dims factor dense
-       (``np.linalg.solve``); above that the bordered system is assembled
-       sparse (H = AF^T AF keeps incidence sparsity) and factored with
-       SuperLU (``scipy.sparse.linalg.splu``), which is what carries the
+       (``np.linalg.solve``); above that they solve by PROJECTED PCG
+       (``_face_pcg`` — no factorization at all; direct sparse factoring
+       was measured dead, see its docstring), which is what carries the
        serving fast path past the old 3000-dim dense ceiling (round-5
        item; measured crossover + scaling table in BASELINE.md).
 
@@ -765,10 +771,6 @@ def prox_bpp_polish(
             nf = fidx.size
             nc = B_blocks + p
             AF = A_csc[:, fidx]
-            rhs = np.concatenate([
-                AF.T @ b_s + eps * xa[fidx],
-                np.concatenate([np.ones(B_blocks), d_s]),
-            ])
             if nf + nc > dense_kkt:
                 # Sparse face solve by PROJECTED PCG, not factorization.
                 # Direct sparse KKT factorization is a dead end here twice
@@ -801,6 +803,10 @@ def prox_bpp_polish(
                 KKT[:nf, :nf] = H
                 KKT[:nf, nf:] = G.T
                 KKT[nf:, :nf] = G
+                rhs = np.concatenate([
+                    AF.T @ b_s + eps * xa[fidx],
+                    np.concatenate([np.ones(B_blocks), d_s]),
+                ])
                 try:
                     sol = np.linalg.solve(KKT, rhs)
                 except np.linalg.LinAlgError:

@@ -552,9 +552,9 @@ def test_eq_refine_tol_certified():
 
 
 def test_bpp_sparse_matches_dense():
-    """The sparse-KKT face solves (SuperLU bordered systems, round 5) must
-    reach the same clean KKT point as the dense LAPACK path: both certify
-    to ~f64 roundoff via the Lagrangian dual bound."""
+    """The sparse-KKT face solves (projected PCG, round 5) must reach the
+    same clean KKT point as the dense LAPACK path: both certify to ~f64
+    roundoff via the Lagrangian dual bound."""
     from bsls_tpu.solvers.eq_constrained import eq_dual_bound, prox_bpp_polish
 
     prob = synthetic.traffic_like(seed=2, num_blocks=60, m=300, num_eq=15,
