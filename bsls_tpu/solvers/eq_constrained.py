@@ -1062,6 +1062,10 @@ def solve_eq_sensitivity(
     viol = float(np.abs(_c_matvec(C, x_res) - d).max()) / dref if p else 0.0
     if viol > eq_tol:
         return None  # certificate failed: caller runs the full AL solve
+    # the exact multipliers come for free from the KKT walk; one matvec
+    # pair turns them into a shipped optimality certificate, so streaming
+    # responses are self-certifying (round 5)
+    bound = eq_dual_bound(problem, x_res, lam)
     out = SolveResult(
         x=x_res,
         objective=problem.objective_np(x_res),
@@ -1075,6 +1079,7 @@ def solve_eq_sensitivity(
         eq_violation=viol,
         stop_reason="sensitivity",
         refine_secs=_time.perf_counter() - t0,
+        refine_fw_gap=float(bound),
     )
     out.eq_lam = lam
     out.eq_rho = float(rho)

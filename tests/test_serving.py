@@ -286,6 +286,10 @@ def test_endpoint_eq_sensitivity_fast_path():
     r2 = ep.solve(b1, tol=1e-7, max_iter=4000)
     assert r2.stop_reason == "sensitivity", r2.stop_reason
     assert r2.converged and r2.eq_violation <= 1e-7
+    # round 5: fast-path responses are self-certifying — the KKT walk's
+    # exact multipliers ship as a sound Lagrangian dual bound
+    assert r2.refine_fw_gap is not None and r2.refine_fw_gap <= 1e-6, (
+        r2.refine_fw_gap)
     # objective parity vs a cold full AL solve of the same request
     cold = Endpoint(prob, method="apgd", chunk=50, warm_start=False)
     r2c = cold.solve(b1, tol=1e-7, max_iter=4000)
