@@ -842,6 +842,12 @@ def prox_bpp_polish(
                 free = (free & ~prim_bad) | dual_bad
             else:  # anti-cycling: exchange only the single worst violator
                 stuck += 1
+                if stuck >= 12 and nviol > 32:
+                    # single swaps move one coordinate per round; a
+                    # 100+-violator set that full exchanges could not
+                    # shrink is structurally unreachable this way — bail
+                    # now instead of burning the remaining rounds
+                    return np.maximum(y, 0.0), mu[B_blocks:], False
                 if stuck % 3 == 0 and rt_eff < 1e-5:
                     # degenerate ties: near-zero duals flip sign with the
                     # face and the single-swap walk 2-cycles (measured:
@@ -872,6 +878,7 @@ def prox_bpp_polish(
         f_prev = None
         lam_s = np.zeros(p)
         certified = False
+        capouts = 0  # consecutive exchange cap-outs: fail fast when stuck
         for k in range(prox_outers):
             # Complementarity cleanliness is only needed at the FINAL
             # (eps_min) subproblem — the one the certificate is read from.
@@ -888,6 +895,18 @@ def prox_bpp_polish(
                                rt)
             if not ok and final:
                 return x_arr, empty_lam, False
+            if ok:
+                capouts = 0
+            else:
+                capouts += 1
+                if capouts >= 2:
+                    # two straight cap-outs: the exchange is chasing a
+                    # structurally wrong face (e.g. hundreds of primal
+                    # violators on a rank-deficient instance after an RHS
+                    # shift) — burning the rest of the ladder costs
+                    # 40 rounds per remaining outer for nothing.  Fail
+                    # fast; the caller's full AL solve handles it.
+                    return x_arr, empty_lam, False
             certified = ok and final
             f = 0.5 * float(np.sum((A_csr @ y - B_rhs[s]) ** 2))
             if debug:
