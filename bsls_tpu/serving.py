@@ -158,8 +158,12 @@ class Endpoint:
             # with sensitivity=False (e.g. when consecutive b's are NOT
             # near each other).
             sens = kw.pop("sensitivity", True)
+            # mesh-backed endpoints fast-path too (round 5): the BPP walk
+            # runs on the HOST from the gathered warm iterate — no sharded
+            # state is touched, and a None return still falls through to
+            # the full (sharded) AL solve
             if (sens and warm is not None and x0 is None
-                    and self.mesh is None and "rho" in warm):
+                    and "rho" in warm):
                 from .solvers.eq_constrained import solve_eq_sensitivity
 
                 fast = solve_eq_sensitivity(

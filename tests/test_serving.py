@@ -303,3 +303,28 @@ def test_endpoint_eq_sensitivity_fast_path():
     b2 = b1 * (1.0 + 1e-2 * rng.standard_normal(b0.shape))
     r4 = ep.solve(b2, tol=1e-7, max_iter=4000)
     assert r4.stop_reason == "sensitivity" and r4.eq_violation <= 1e-7
+
+
+def test_endpoint_mesh_eq_sensitivity_fast_path():
+    """Round 5: mesh-backed eq endpoints take the sensitivity fast path
+    too — the BPP walk is host-side and mesh-agnostic, so pod serving
+    gets the same streaming latency win (with the usual certificate-gated
+    fallback to the full sharded AL solve)."""
+    import jax
+
+    from bsls_tpu.models import synthetic
+    from bsls_tpu.parallel import make_mesh
+
+    prob = synthetic.traffic_like(seed=3, num_blocks=48, m=200, num_eq=8,
+                                  noise=1e-3)
+    mesh = make_mesh(block=len(jax.devices()), scenario=1)
+    ep = Endpoint(prob, method="apgd", chunk=100, mesh=mesh)
+    b0 = np.asarray(prob.b)
+    r1 = ep.solve(b0, tol=1e-7, max_iter=10_000)
+    assert r1.converged
+    rng = np.random.default_rng(2)
+    b1 = b0 * (1.0 + 2e-2 * rng.standard_normal(b0.shape))
+    r2 = ep.solve(b1, tol=1e-7, max_iter=10_000)
+    assert r2.stop_reason == "sensitivity", r2.stop_reason
+    assert r2.eq_violation <= 1e-7
+    assert r2.refine_fw_gap is not None and r2.refine_fw_gap <= 1e-6
