@@ -176,7 +176,11 @@ def test_face_pcg_matches_dense_kkt(data):
     except np.linalg.LinAlgError:
         return  # singular face: dense ref undefined
     scale = max(1.0, float(np.abs(sol).max()))
-    assert np.abs(y - sol[:nf]).max() <= 1e-8 * scale
+    # conditioning-aware tolerance: iterative-vs-direct SOLUTION
+    # differences scale with cond(KKT) x the ~1e-13 residual both achieve
+    # (see docstring); a fixed 1e-8 flakes on ill-conditioned draws
+    tol = max(1e-8, 1e-13 * float(np.linalg.cond(KKT))) * scale
+    assert np.abs(y - sol[:nf]).max() <= tol
     # constraints hold to roundoff regardless
     dref = max(1.0, float(np.abs(d).max())) if p else 1.0
     assert np.abs(G @ y - rhs[nf:]).max() <= 1e-10 * dref
